@@ -1,0 +1,117 @@
+"""Posting-list integer codecs: variable-byte (docids) and unary (tfs).
+
+Byte/bit-level semantics match the reference
+(/root/reference/common/.../compression/VariableByteCompressor.java and
+UnaryCompressor.java), pinned by its unit-test goldens:
+
+* Variable-byte: per int, base-128 **big-endian**, MSB of the **last**
+  byte set as terminator. ``5 -> [0x85]``, ``824 -> [0x06, 0xB8]``.
+  ``0 -> [0x00]`` (reference quirk: unterminated — decode folds it into
+  the next value; harmless because docids/gaps/tfs are always >= 1).
+  The reference encodes RAW docids; we encode **gaps** (delta within a
+  sorted posting block) — an allowed improvement since rank identity is
+  defined on query results, not index bytes (SURVEY.md §2.7 C1).
+* Unary: value v -> (v-1) one-bits then a zero-bit, packed MSB-first;
+  the whole array is bit-aligned, byte-aligned only at the end
+  (zero-padded). ``[32] -> FF FF FF FE``, ``[1,2,1,1,3] -> [0x46]``.
+  Values <= 0 are skipped (reference prints a warning; we raise, since
+  a tf <= 0 upstream is a pipeline bug).
+
+All functions are numpy-vectorized (no per-element Python in the hot
+loop beyond the VB byte-slice assembly) and are wrapped by pandas UDFs
+in the packed-postings writer/reader.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def vb_encode(values: np.ndarray | list[int]) -> bytes:
+    """Variable-byte encode an int array (big-endian, last-byte MSB)."""
+    vals = np.asarray(values, dtype=np.int64)
+    if vals.size == 0:
+        return b""
+    if (vals < 0).any():
+        raise ValueError("variable-byte encoding requires non-negative ints")
+    # number of 7-bit digits per value (0 -> 1 digit, the 0x00 quirk byte)
+    safe = np.maximum(vals, 1)
+    nbytes = (np.floor(np.log(safe) / np.log(128)).astype(np.int64) + 1)
+    # guard float-log edge cases at powers of 128
+    pow_check = 128 ** nbytes
+    nbytes = np.where(vals >= pow_check, nbytes + 1, nbytes)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    # peel 7-bit digits least-significant first, writing right-to-left
+    remaining = vals.copy()
+    max_b = int(nbytes.max())
+    for digit in range(max_b):
+        mask = nbytes > digit
+        pos = ends[mask] - 1 - digit
+        out[pos] = remaining[mask] % 128
+        remaining = remaining // 128
+    # terminator bit on the last byte of each value — except the 0 quirk
+    term_pos = ends - 1
+    term_mask = vals != 0
+    out[term_pos[term_mask]] += 128
+    return out.tobytes()
+
+
+def vb_decode(data: bytes, tot_nums: int) -> np.ndarray:
+    """Decode ``tot_nums`` ints from a variable-byte stream."""
+    if tot_nums == 0:
+        return np.zeros(0, dtype=np.int64)
+    raw = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    is_term = raw >= 128
+    digits = np.where(is_term, raw - 128, raw)
+    # value boundaries: terminator positions
+    ends = np.flatnonzero(is_term)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    out = np.zeros(len(ends), dtype=np.int64)
+    # horner accumulation vectorized over values of equal length
+    lengths = ends - starts + 1
+    for ln in np.unique(lengths):
+        sel = lengths == ln
+        s = starts[sel]
+        acc = np.zeros(sel.sum(), dtype=np.int64)
+        for d in range(int(ln)):
+            acc = acc * 128 + digits[s + d]
+        out[sel] = acc
+    return out[:tot_nums]
+
+
+def unary_encode(values: np.ndarray | list[int]) -> bytes:
+    """Unary encode: v -> (v-1) ones + a zero, MSB-first bit packing."""
+    vals = np.asarray(values, dtype=np.int64)
+    if vals.size == 0:
+        return b""
+    if (vals <= 0).any():
+        raise ValueError("unary encoding requires strictly positive ints")
+    nbits = int(vals.sum())
+    bits = np.ones(nbits, dtype=np.uint8)
+    zero_pos = np.cumsum(vals) - 1
+    bits[zero_pos] = 0
+    return np.packbits(bits).tobytes()  # packbits pads with 0 bits, MSB-first
+
+
+def unary_decode(data: bytes, tot_nums: int) -> np.ndarray:
+    """Decode ``tot_nums`` ints from a unary bit stream."""
+    if tot_nums == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    zeros = np.flatnonzero(bits == 0)[:tot_nums]
+    prev = np.concatenate(([-1], zeros[:-1]))
+    return (zeros - prev).astype(np.int64)
+
+
+def gaps_encode(sorted_vals: np.ndarray | list[int]) -> np.ndarray:
+    """Docid array -> gap array (first value kept raw)."""
+    vals = np.asarray(sorted_vals, dtype=np.int64)
+    if vals.size == 0:
+        return vals
+    return np.diff(vals, prepend=0)
+
+
+def gaps_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.int64))
