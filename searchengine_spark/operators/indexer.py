@@ -1,0 +1,521 @@
+"""Distributed SPIMI-equivalent inverted-index build.
+
+Re-expresses the reference's two-stage build — SPIMI partial indexing
+(/root/reference/indexer/.../algorithms/Spimi.java:221-335) followed by
+a k-way sorted merge (/root/reference/indexer/.../algorithms/Merger.java:260-458)
+— as a declarative Spark pipeline:
+
+  source df
+    -> analysis chain (JVM regex + Porter pandas UDF)      [= Preprocesser]
+    -> empty-doc filter + deterministic dense docids       [= Spimi.java:229,260]
+    -> doc_stats parquet (+ sha256 lineage per row)        [= DocumentIndexEntry]
+    -> explode + hash agg (term, docid) -> tf              [= updateOrAddPosting]
+    -> staged posting-block parquet (checkpoint point)     [= partial indexes]
+    -> repartitionByRange(term, docid) + sort              [= Merger k-way merge]
+    -> postings parquet, lexicon agg, block metadata       [= vocabulary + descriptors]
+    -> optional packed postings (gap-VB docids, unary tfs) [= compression flags]
+
+Catalyst supplies what the reference hand-builds: the memory-bounded
+SPIMI flush becomes spillable partial+final hash aggregation; the k-way
+merge-by-min-term becomes one sort-merge shuffle; skewed terms are
+split across range partitions because the range key is (term, docid),
+not term alone — a heavy term simply spans several partitions, so no
+single task owns a boilerplate term's full posting list.
+
+Layout on disk (parquet + manifest; production target is Iceberg — the
+same code works with ``format("iceberg")`` when a catalog is present):
+
+  index_dir/
+    manifest.json     flags, collection stats, per-stage lineage/metrics
+    doc_stats/        (docid, pid, doc_len, content_sha256)
+    stage_postings/   (term, docid, tf, doc_len)     <- checkpoint granularity
+    postings/         (term, docid, tf, doc_len)     sorted by (term, docid)
+    lexicon/          (term, df, idf, max_tf, bm25_tf, bm25_dl,
+                       tub_tfidf, tub_bm25, num_blocks, max_per_block)
+    blocks/           (term, block_id, max_docid, num_postings)
+    postings_packed/  (term, block_id, num_postings, max_docid,
+                       docids_vb binary, tfs_unary binary)
+
+``doc_len`` is denormalized into the postings (the reference keeps a
+separate in-RAM DocumentIndex, DocumentIndex.java:9-75); carrying the
+8 bytes per posting removes the docid join from the query hot path —
+a deliberate space-for-shuffle trade the reference cannot make.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator
+
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.analysis import tokens_col
+from ..functions.codecs import gaps_encode, unary_encode, vb_encode
+
+K1 = 1.5  # Scorer.java:15-19
+B = 0.75
+BLOCK_DF_THRESHOLD = 1024  # VocabularyEntry.java:348-352
+
+
+@dataclass
+class IndexConfig:
+    stem_stop: bool = True       # reference flag -s
+    compression: bool = True     # reference flag -c (packed postings)
+    num_partitions: int | None = None
+    overwrite: bool = False      # False => resume from completed stages
+
+
+@dataclass
+class InvertedIndex:
+    """Handle to a built index: lazy DataFrame accessors + stats."""
+
+    spark: SparkSession
+    index_dir: str
+    manifest: dict = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
+        manifest = json.loads((Path(index_dir) / "manifest.json").read_text())
+        return cls(spark, index_dir, manifest)
+
+    def _read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(str(Path(self.index_dir) / name))
+
+    @property
+    def doc_stats(self) -> DataFrame:
+        return self._read("doc_stats")
+
+    @property
+    def postings(self) -> DataFrame:
+        return self._read("postings")
+
+    @property
+    def lexicon(self) -> DataFrame:
+        return self._read("lexicon")
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self._read("blocks")
+
+    @property
+    def postings_packed(self) -> DataFrame:
+        return self._read("postings_packed")
+
+    @property
+    def stats(self) -> dict:
+        return self.manifest["stats"]
+
+
+def docs_from_code_table(df: DataFrame) -> DataFrame:
+    """Adapt the north-star input (repo, path, commit, lang, content) to
+    the engine's (pid, content) contract. pid = repo/path@commit
+    truncated to 64 chars (DocumentIndexEntry.PID_SIZE,
+    DocumentIndexEntry.java:43 — truncation is part of the semantics)."""
+    pid = F.concat(F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
+    return df.select(
+        F.substring(pid, 1, 64).alias("pid"),
+        F.col("content").cast("string").alias("content"),
+    )
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "docid",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic dense ids 1..N in ``ORDER BY order_cols`` without a
+    driver collect of data (only one tiny count row per partition).
+
+    Replaces the reference's sequential counter (Spimi.java:229) with
+    the scalable two-pass pattern: range-partition + in-partition sort,
+    per-partition counts -> cumulative offsets, then an Arrow-batched
+    id stamp. The input is persisted so both passes see identical
+    partitioning (RangePartitioner sampling is otherwise re-run per
+    action).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(1, min(n, 2000))
+    part = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSIST_HANDLES.append(part)
+    try:
+        counts = (
+            part.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        by_pid = {r["pid"]: r["count"] for r in counts}
+        offsets: dict[int, int] = {}
+        acc = start
+        for pid in sorted(by_pid):
+            offsets[pid] = acc
+            acc += by_pid[pid]
+
+        out_schema = T.StructType(
+            part.schema.fields + [T.StructField(id_col, T.LongType(), False)]
+        )
+
+        def stamp(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            nxt = offsets.get(pid, start)
+            for batch in iterator:
+                ids = range(nxt, nxt + len(batch))
+                batch = batch.copy()
+                batch[id_col] = list(ids)
+                nxt += len(batch)
+                yield batch
+
+        stamped = part.mapInPandas(stamp, schema=out_schema)
+        # materialize before unpersist: caller writes this to parquet next,
+        # so keep the persist handle alive via closure — Spark unpersists
+        # lazily and the write re-reads the cached blocks.
+        return stamped
+    except Exception:
+        part.unpersist()
+        raise
+
+
+def _stage_done(path: Path) -> bool:
+    return (path / "_SUCCESS").exists()
+
+
+# persisted intermediates released at the end of build_index
+_PERSIST_HANDLES: list[DataFrame] = []
+
+
+def _release_persisted() -> None:
+    while _PERSIST_HANDLES:
+        try:
+            _PERSIST_HANDLES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _rank_within_groups(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    rank_col: str,
+    num_partitions: int,
+) -> DataFrame:
+    """0-based rank of each row within its group, ordered by order_col,
+    WITHOUT a per-group window (a window over a boilerplate term would
+    put that term's entire posting list in one task). Same two-pass
+    offsets pattern as assign_dense_ids, keyed by (partition, group)."""
+    part = df.repartitionByRange(num_partitions, group_col, order_col)
+    part = part.sortWithinPartitions(group_col, order_col)
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSIST_HANDLES.append(part)
+    counts = part.groupBy(
+        F.spark_partition_id().alias("pid"), F.col(group_col)
+    ).count()
+    # Only groups SPANNING a partition boundary need a nonzero offset;
+    # range partitioning on (group, order) makes these O(#partitions)
+    # rows regardless of vocabulary size — never a full-vocab collect.
+    from pyspark.sql import Window as W
+
+    spanning = (
+        counts.withColumn(
+            "n_parts", F.count("*").over(W.partitionBy(group_col))
+        )
+        .filter(F.col("n_parts") > 1)
+        .collect()
+    )
+    per_group: dict[str, list[tuple[int, int]]] = {}
+    for r in spanning:
+        per_group.setdefault(r[group_col], []).append((r["pid"], r["count"]))
+    offsets: dict[tuple[int, str], int] = {}
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            offsets[(pid, g)] = acc
+            acc += cnt
+
+    out_schema = T.StructType(
+        part.schema.fields + [T.StructField(rank_col, T.LongType(), False)]
+    )
+
+    def stamp(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen: dict[str, int] = {}
+        for batch in iterator:
+            ranks = []
+            for g in batch[group_col]:
+                base = seen.get(g)
+                if base is None:
+                    base = offsets.get((pid, g), 0)
+                ranks.append(base)
+                seen[g] = base + 1
+            batch = batch.copy()
+            batch[rank_col] = ranks
+            yield batch
+
+    return part.mapInPandas(stamp, schema=out_schema)
+
+
+def compute_lexicon(postings: DataFrame, n_docs: int, avg_doc_len: float) -> DataFrame:
+    """Per-term statistics (VocabularyEntry semantics).
+
+    Floating-point expressions replicate the reference's operation order
+    bit-for-bit (IEEE-754 doubles both sides):
+
+    * ``idf = log10(N / df)``                      VocabularyEntry.computeIDF
+    * ``tub_tfidf = (1 + log10(max_tf)) * idf``    computeUpperBounds
+    * ``tub_bm25 = (idf*bm25_tf) / (bm25_tf + k1*(1 - b + b*bm25_dl/avgdl))``
+      with RAW bm25_tf (not log-tf) — the reference's admitted heuristic
+      (documentation.pdf §3.2.1), reproduced as-is.
+
+    The BM25 arg-max keeps the (tf, dl) pair maximizing ``tf/(tf+dl)``;
+    the reference's streaming strict-``>`` update means the FIRST
+    maximizer in docid order wins ties (PostingList.java:113-120) —
+    reproduced via max over ``struct(ratio, -docid)``.
+    """
+    ratio = F.col("tf").cast("double") / (F.col("doc_len") + F.col("tf")).cast("double")
+    best = F.max(
+        F.struct(
+            ratio.alias("r"),
+            (-F.col("docid")).alias("nd"),
+            F.col("tf").alias("tf"),
+            F.col("doc_len").alias("dl"),
+        )
+    ).alias("best")
+    return (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"), F.max("tf").alias("max_tf"), best)
+        .select(
+            "term",
+            "df",
+            "max_tf",
+            F.col("best.tf").alias("bm25_tf"),
+            F.col("best.dl").alias("bm25_dl"),
+        )
+        .withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df").cast("double")))
+        .withColumn(
+            "tub_tfidf",
+            (F.lit(1.0) + F.log10(F.col("max_tf").cast("double"))) * F.col("idf"),
+        )
+        .withColumn(
+            "tub_bm25",
+            (F.col("idf") * F.col("bm25_tf"))
+            / (
+                F.col("bm25_tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("bm25_dl").cast("double") / F.lit(avg_doc_len)
+                )
+            ),
+        )
+    )
+
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("block_id", T.LongType()),
+        T.StructField("num_postings", T.LongType()),
+        T.StructField("max_docid", T.LongType()),
+        T.StructField("docids_vb", T.BinaryType()),
+        T.StructField("tfs_unary", T.BinaryType()),
+    ]
+)
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas packer for one (term, block_id) group: gap+VB docids
+    (SURVEY.md §2.7 C1 — documented deviation: reference VB-encodes raw
+    docids, Merger.java:341-358; we encode gaps) and unary tfs."""
+    pdf = pdf.sort_values("docid")
+    docids = pdf["docid"].to_numpy()
+    tfs = pdf["tf"].to_numpy()
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "block_id": [int(pdf["block_id"].iloc[0])],
+            "num_postings": [len(docids)],
+            "max_docid": [int(docids.max())],
+            "docids_vb": [vb_encode(gaps_encode(docids))],
+            "tfs_unary": [unary_encode(tfs)],
+        }
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> InvertedIndex:
+    """Build the full index from a (pid string, content string) DataFrame.
+
+    Stages are individually checkpointed: each writes parquet + _SUCCESS
+    and is skipped on resume if already complete (the reference's
+    closest analog is the Spimi/Merger file handoff + rollback,
+    Spimi.java:87-93). ``manifest.json`` records flags, collection
+    stats, and per-stage row counts / durations / partition lineage.
+    """
+    cfg = config or IndexConfig()
+    spark = docs.sparkSession
+    root = Path(index_dir)
+    if cfg.overwrite and root.exists():
+        shutil.rmtree(root)
+    root.mkdir(parents=True, exist_ok=True)
+    manifest_path = root / "manifest.json"
+    manifest: dict = (
+        json.loads(manifest_path.read_text())
+        if manifest_path.exists()
+        else {"flags": {"stem_stop": cfg.stem_stop, "compression": cfg.compression},
+              "stages": {}, "stats": {}}
+    )
+    if manifest["flags"] != {"stem_stop": cfg.stem_stop, "compression": cfg.compression}:
+        raise ValueError(
+            "index flags mismatch on resume — query-time behavior must match "
+            f"index-time (Flags.java:11-55): {manifest['flags']}"
+        )
+    n_part = cfg.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def record(stage: str, t0: float, **extra) -> None:
+        manifest["stages"][stage] = {"sec": round(time.time() - t0, 3), **extra}
+        manifest_path.write_text(json.dumps(manifest, indent=2))
+
+    # ---- stage 1: analysis + docids + doc_stats --------------------------
+    doc_stats_dir = root / "doc_stats"
+    if not _stage_done(doc_stats_dir):
+        t0 = time.time()
+        toks = docs.select(
+            "pid",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+            tokens_col(F.col("content"), cfg.stem_stop).alias("tokens"),
+        )
+        # doc_len counts blank tokens (Spimi.java:264); docs with an empty
+        # token LIST are skipped before docid assignment (Spimi.java:260).
+        toks = toks.filter(F.size("tokens") > 0)
+        with_ids = assign_dense_ids(
+            toks, ["pid"], "docid", start=1, num_partitions=n_part
+        )
+        with_ids.select(
+            "docid", "pid", F.size("tokens").alias("doc_len"),
+            "content_sha256", "tokens",
+        ).write.mode("overwrite").parquet(str(root / "doc_tokens"))
+        dt = spark.read.parquet(str(root / "doc_tokens"))
+        dt.select("docid", "pid", "doc_len", "content_sha256").write.mode(
+            "overwrite"
+        ).parquet(str(doc_stats_dir))
+        record("doc_stats", t0, rows=dt.count(), partitions=n_part)
+
+    # ---- stage 2: SPIMI posting blocks (checkpoint granularity) ----------
+    stage_dir = root / "stage_postings"
+    if not _stage_done(stage_dir):
+        t0 = time.time()
+        dt = spark.read.parquet(str(root / "doc_tokens"))
+        postings = (
+            dt.select("docid", "doc_len", F.explode("tokens").alias("term"))
+            .filter(F.col("term") != "")  # blank tokens: no postings (Spimi.java:282-286)
+            .groupBy("term", "docid", "doc_len")
+            .agg(F.count("*").alias("tf"))  # spillable partial+final hash agg = SPIMI
+        )
+        postings.write.mode("overwrite").parquet(str(stage_dir))
+        record("stage_postings", t0, rows=spark.read.parquet(str(stage_dir)).count())
+
+    # ---- stage 3: merge shuffle -> final sorted postings + block ids -----
+    postings_dir = root / "postings"
+    if not _stage_done(postings_dir):
+        t0 = time.time()
+        staged = spark.read.parquet(str(stage_dir))
+        # per-term df drives the sqrt block law (VocabularyEntry.java:348-361)
+        df_per_term = staged.groupBy("term").agg(F.count("*").alias("df"))
+        blk = df_per_term.select(
+            "term",
+            "df",
+            F.when(F.col("df") >= BLOCK_DF_THRESHOLD,
+                   F.ceil(F.sqrt(F.col("df"))))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("num_blocks"),
+        ).withColumn(
+            "max_per_block", F.ceil(F.col("df") / F.col("num_blocks")).cast("long")
+        )
+        ranked = _rank_within_groups(
+            staged, "term", "docid", "posting_rank", num_partitions=n_part
+        )
+        # no broadcast hint: the term table is vocabulary-sized; AQE picks
+        # broadcast when it fits and shuffle join when it doesn't
+        merged = (
+            ranked.join(blk.select("term", "max_per_block"), "term")
+            .withColumn(
+                "block_id",
+                (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
+            )
+            .select("term", "docid", "tf", "doc_len", "block_id")
+        )
+        (
+            merged.repartitionByRange(n_part, "term", "docid")
+            .sortWithinPartitions("term", "docid")
+            .write.mode("overwrite")
+            .parquet(str(postings_dir))
+        )
+        blk.write.mode("overwrite").parquet(str(root / "term_df"))
+        record("postings", t0, rows=spark.read.parquet(str(postings_dir)).count())
+
+    # ---- stage 4: lexicon + block metadata --------------------------------
+    lexicon_dir = root / "lexicon"
+    if not _stage_done(lexicon_dir):
+        t0 = time.time()
+        doc_stats = spark.read.parquet(str(doc_stats_dir))
+        n_docs, total_doc_len = (
+            doc_stats.agg(F.count("*"), F.sum("doc_len")).collect()[0]
+        )
+        avgdl = total_doc_len / n_docs
+        postings = spark.read.parquet(str(postings_dir))
+        lex = compute_lexicon(postings, int(n_docs), avgdl)
+        blk_meta = spark.read.parquet(str(root / "term_df")).select(
+            "term", "num_blocks", "max_per_block"
+        )
+        lex = lex.join(blk_meta, "term")
+        lex.write.mode("overwrite").parquet(str(lexicon_dir))
+
+        blocks = (
+            postings.groupBy("term", "block_id")
+            .agg(
+                F.max("docid").alias("max_docid"),
+                F.count("*").alias("num_postings"),
+            )
+        )
+        blocks.write.mode("overwrite").parquet(str(root / "blocks"))
+        n_terms = spark.read.parquet(str(lexicon_dir)).count()
+        manifest["stats"] = {
+            "n_docs": int(n_docs),
+            "total_doc_len": int(total_doc_len),
+            "avg_doc_len": avgdl,
+            "n_terms": int(n_terms),
+        }
+        record("lexicon", t0, terms=int(n_terms))
+
+    # ---- stage 5: packed postings (compression flag) ----------------------
+    packed_dir = root / "postings_packed"
+    if cfg.compression and not _stage_done(packed_dir):
+        t0 = time.time()
+        postings = spark.read.parquet(str(postings_dir))
+        packed = postings.groupBy("term", "block_id").applyInPandas(
+            _pack_group, schema=_PACK_SCHEMA
+        )
+        packed.write.mode("overwrite").parquet(str(packed_dir))
+        record("postings_packed", t0,
+               blocks=spark.read.parquet(str(packed_dir)).count())
+
+    manifest_path.write_text(json.dumps(manifest, indent=2))
+    return InvertedIndex(spark, str(root), manifest)

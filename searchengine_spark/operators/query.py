@@ -1,0 +1,132 @@
+"""Top-k query evaluation: DAAT-equivalent exact scoring.
+
+Re-expresses the reference's document-at-a-time traversal
+(/root/reference/queryHandler/.../DAAT.java, MaxScore.java) relationally:
+
+* disjunctive (DAAT.java:95-162) = filter postings to query terms,
+  sum per-doc partial scores;
+* conjunctive (DAAT.java:43-127) = same plus HAVING count(term)==|q|
+  (a multi-way semi-join on docid), with the missing-term short-circuit
+  (QueryProcesser.java:61-67);
+* top-k min-heap (DAAT.java:176-206) = ORDER BY score DESC, docid ASC
+  LIMIT k — the strict-`>` heap retains the earlier (lower-docid) doc
+  on score ties, which this ordering reproduces deterministically.
+
+MaxScore/block-max pruning is a performance device, not a semantics
+change (the reference's own tests assert DAAT == MaxScore); exact
+scoring + true top-k yields rank-identical results. A partition-
+parallel pruning scorer lives in maxscore.py for the latency path.
+
+Scoring formulas replicate Scorer.java:40-64 with the same IEEE-754
+operation order (Java and Spark both use binary64):
+
+  ltf     = 1 + log10(tf)
+  tfidf   = idf * ltf
+  bm25    = idf * ltf / (ltf + k1*(1 - b + b*doc_len/avg_doc_len))
+  k1=1.5, b=0.75, avg_doc_len = total_doc_len / N
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import process_text
+from .indexer import B, K1, InvertedIndex
+
+
+def query_terms(text: str, stem_stop: bool) -> list[str]:
+    """Analysis chain + order-preserving dedup (QueryProcesser.java:53-56)."""
+    seen: dict[str, None] = {}
+    for t in process_text(text, stem_stop):
+        seen.setdefault(t, None)
+    return list(seen)
+
+
+def score_col(scoring: str, idf: Column, avg_doc_len: float) -> Column:
+    """Per-posting partial score as a JVM column expression over
+    (tf, doc_len) with the term's idf injected."""
+    ltf = F.lit(1.0) + F.log10(F.col("tf").cast("double"))
+    if scoring == "bm25":
+        denom = ltf + F.lit(K1) * (
+            F.lit(1.0 - B)
+            + F.lit(B) * F.col("doc_len").cast("double") / F.lit(avg_doc_len)
+        )
+        return idf * ltf / denom
+    return idf * ltf  # tfidf (Scorer.java:61-64); dispatch per Scorer.java:29-31
+
+
+def top_k(
+    index: InvertedIndex,
+    text: str,
+    k: int = 10,
+    conjunctive: bool = False,
+    scoring: str = "bm25",
+) -> DataFrame:
+    """Top-k (docid, pid, score) for a query string, rank-identical to
+    the reference's DAAT semantics. Returns an empty DataFrame when no
+    term matches (reference returns null, cli prints nothing)."""
+    spark = index.spark
+    stats = index.stats
+    stem_stop = index.manifest["flags"]["stem_stop"]
+    avgdl = stats["total_doc_len"] / stats["n_docs"]
+
+    terms = query_terms(text, stem_stop)
+    empty = spark.createDataFrame([], "docid long, pid string, score double")
+    if not terms:
+        return empty
+
+    # lexicon point lookup: <= |q| rows collected (Vocabulary.getEntry;
+    # parquet min/max pruning plays the binary-search role)
+    lex_rows = (
+        index.lexicon.filter(F.col("term").isin(terms))
+        .select("term", "idf")
+        .collect()
+    )
+    idf_by_term = {r["term"]: r["idf"] for r in lex_rows}
+    missing = [t for t in terms if t not in idf_by_term]
+    if conjunctive and missing:
+        return empty  # conjunctive short-circuit (QueryProcesser.java:61-67)
+    present = [t for t in terms if t in idf_by_term]
+    if not present:
+        return empty
+
+    # idf and term position injected as literal maps — no lexicon join in
+    # the hot path
+    idf_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, float(idf_by_term[t]))]
+    )
+    pos_map = F.create_map(
+        *[F.lit(x) for i, t in enumerate(present) for x in (t, i)]
+    )
+    postings = index.postings.filter(F.col("term").isin(present))
+    scored = postings.select(
+        "docid",
+        pos_map[F.col("term")].alias("term_idx"),
+        score_col(scoring, idf_map[F.col("term")], avgdl).alias("partial"),
+    )
+    # DAAT sums a doc's partials in query-term order (DAAT.java:139-162);
+    # float addition is not associative, so fold an ordered array rather
+    # than F.sum (whose order is shuffle-dependent) for bit-exact parity.
+    agg = scored.groupBy("docid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term_idx", "partial"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["partial"],
+        ).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+    if conjunctive:
+        agg = agg.filter(F.col("n_terms") == len(present))
+    topk = (
+        agg.select("docid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    # pid lookup (J7): broadcast the k rows against doc_stats
+    return (
+        F.broadcast(topk)
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .select("docid", "pid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
