@@ -1,0 +1,43 @@
+"""Training-data-pipeline operator registry for the driver gate.
+
+Collects the (spark, sf_dir) -> DataFrame callables and their DuckDB
+oracle SQL for the large-scale-pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing). Populated operator-by-
+operator; keys appear in __spark_entry__.queries()/oracle_sql().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: Callable, sql: str | None) -> None:
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return dict(_QUERIES)
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    from . import dedup, similarity, textstats, multimodal  # noqa: F401

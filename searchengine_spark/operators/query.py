@@ -62,10 +62,15 @@ def top_k(
     k: int = 10,
     conjunctive: bool = False,
     scoring: str = "bm25",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Top-k (docid, pid, score) for a query string, rank-identical to
     the reference's DAAT semantics. Returns an empty DataFrame when no
-    term matches (reference returns null, cli prints nothing)."""
+    term matches (reference returns null, cli prints nothing).
+
+    ``round_decimals`` rounds the score BEFORE the order-by/limit — used
+    by cross-engine oracles so that tie-breaking (score DESC, docid ASC)
+    is decided on the same rounded values both sides."""
     spark = index.spark
     stats = index.stats
     stem_stop = index.manifest["flags"]["stem_stop"]
@@ -118,6 +123,8 @@ def top_k(
     )
     if conjunctive:
         agg = agg.filter(F.col("n_terms") == len(present))
+    if round_decimals is not None:
+        agg = agg.withColumn("score", F.round(F.col("score"), round_decimals))
     topk = (
         agg.select("docid", "score")
         .orderBy(F.col("score").desc(), F.col("docid").asc())
