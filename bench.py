@@ -1,0 +1,101 @@
+"""Headline benchmark: full staged index build + BM25/TFIDF top-k latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_per_sec": build throughput, "query_p50_ms": warm p50}
+
+Mirrors the reference's own harness numbers (BASELINE.md /
+documentation.pdf §4): index-build throughput in docs/sec and warm
+top-k query latency (QueryPerformancesMain, k=10, bm25).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+QUERIES = [
+    ("q_bm25_disj", "spark join fast", False, "bm25"),
+    ("q_bm25_conj", "hash table scan", True, "bm25"),
+    ("q_tfidf_disj", "window agg stream", False, "tfidf"),
+    ("q_bm25_long", "slow query merge sort group order filter", False, "bm25"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.indexer import IndexConfig, build_index
+    from searchengine_spark.operators.query import top_k
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pid"),
+        F.col("text").alias("content"),
+    )
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="seidx_")
+    try:
+        t0 = time.time()
+        idx = build_index(
+            docs,
+            f"{tmp}/index",
+            IndexConfig(stem_stop=True, compression=True, overwrite=True),
+        )
+        build_sec = time.time() - t0
+        timings["build_index"] = round(build_sec, 3)
+
+        # cache hot paths the way a serving deployment would (the
+        # reference loads the whole doc index into RAM at startup)
+        idx.postings.cache().count()
+        idx.doc_stats.cache().count()
+        idx.lexicon.cache().count()
+
+        lat: list[float] = []
+        for name, text, conj, scoring in QUERIES:
+            # one cold + three warm runs; report the warm median
+            runs = []
+            for _ in range(4):
+                tq = time.time()
+                top_k(idx, text, k=10, conjunctive=conj, scoring=scoring).collect()
+                runs.append(time.time() - tq)
+            timings[name] = round(statistics.median(runs[1:]), 3)
+            lat.extend(runs[1:])
+
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "index_build_plus_topk_queries",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "query_p50_ms": round(statistics.median(lat) * 1000, 1),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

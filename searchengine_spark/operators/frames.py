@@ -55,12 +55,16 @@ def tokenized_docs(docs: DataFrame, stem_stop: bool) -> DataFrame:
     """
     from ..functions.analysis import tokens_col
 
-    toks = docs.select(
-        "pid",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-        tokens_col(F.col("content"), stem_stop).alias("tokens"),
-    ).filter(F.size("tokens") > 0)
-    with_ids = assign_dense_ids(toks, ["pid"], "docid", start=1)
+    def analyze(part: DataFrame) -> DataFrame:
+        return part.select(
+            "pid",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+            tokens_col(F.col("content"), stem_stop).alias("tokens"),
+        ).filter(F.size("tokens") > 0)
+
+    with_ids = assign_dense_ids(
+        docs, ["pid"], "docid", start=1, post_partition=analyze
+    )
     return with_ids.select(
         "docid",
         "pid",

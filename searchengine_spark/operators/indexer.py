@@ -132,6 +132,7 @@ def assign_dense_ids(
     id_col: str = "docid",
     start: int = 1,
     num_partitions: int | None = None,
+    post_partition=None,
 ) -> DataFrame:
     """Deterministic dense ids 1..N in ``ORDER BY order_cols`` without a
     driver collect of data (only one tiny count row per partition).
@@ -142,11 +143,22 @@ def assign_dense_ids(
     id stamp. The input is persisted so both passes see identical
     partitioning (RangePartitioner sampling is otherwise re-run per
     action).
+
+    ``post_partition`` (DataFrame -> DataFrame, order-preserving narrow
+    ops only: select/filter) is applied AFTER the range shuffle, so
+    expensive derived columns (tokenization UDFs) stay out of the
+    RangePartitioner's sampling pass — otherwise the sampler executes
+    the whole upstream chain a second time just to sample the keys.
     """
-    spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n = max(1, min(n, 2000))
-    part = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, *order_cols)
+    else:
+        # no explicit count -> AQE sizes the shuffle (coalesces tiny
+        # inputs, splits at spark.sql.shuffle.partitions for big ones)
+        part = df.repartitionByRange(*order_cols)
+    part = part.sortWithinPartitions(*order_cols)
+    if post_partition is not None:
+        part = post_partition(part)
     part = part.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSIST_HANDLES.append(part)
     try:
@@ -209,13 +221,16 @@ def _rank_within_groups(
     group_col: str,
     order_col: str,
     rank_col: str,
-    num_partitions: int,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """0-based rank of each row within its group, ordered by order_col,
     WITHOUT a per-group window (a window over a boilerplate term would
     put that term's entire posting list in one task). Same two-pass
     offsets pattern as assign_dense_ids, keyed by (partition, group)."""
-    part = df.repartitionByRange(num_partitions, group_col, order_col)
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, group_col, order_col)
+    else:
+        part = df.repartitionByRange(group_col, order_col)
     part = part.sortWithinPartitions(group_col, order_col)
     part = part.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSIST_HANDLES.append(part)
@@ -386,7 +401,7 @@ def build_index(
             "index flags mismatch on resume — query-time behavior must match "
             f"index-time (Flags.java:11-55): {manifest['flags']}"
         )
-    n_part = cfg.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = cfg.num_partitions  # None -> AQE-sized shuffles
 
     def record(stage: str, t0: float, **extra) -> None:
         manifest["stages"][stage] = {"sec": round(time.time() - t0, 3), **extra}
@@ -396,26 +411,32 @@ def build_index(
     doc_stats_dir = root / "doc_stats"
     if not _stage_done(doc_stats_dir):
         t0 = time.time()
-        toks = docs.select(
-            "pid",
-            F.sha2(F.col("content"), 256).alias("content_sha256"),
-            tokens_col(F.col("content"), cfg.stem_stop).alias("tokens"),
-        )
-        # doc_len counts blank tokens (Spimi.java:264); docs with an empty
-        # token LIST are skipped before docid assignment (Spimi.java:260).
-        toks = toks.filter(F.size("tokens") > 0)
+
+        def analyze(part: DataFrame) -> DataFrame:
+            # doc_len counts blank tokens (Spimi.java:264); docs with an
+            # empty token LIST are skipped before docid assignment
+            # (Spimi.java:260). Runs post-shuffle so the range sampler
+            # never executes the analysis chain.
+            return part.select(
+                "pid",
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                tokens_col(F.col("content"), cfg.stem_stop).alias("tokens"),
+            ).filter(F.size("tokens") > 0)
+
         with_ids = assign_dense_ids(
-            toks, ["pid"], "docid", start=1, num_partitions=n_part
+            docs, ["pid"], "docid", start=1, num_partitions=n_part,
+            post_partition=analyze,
         )
         with_ids.select(
             "docid", "pid", F.size("tokens").alias("doc_len"),
             "content_sha256", "tokens",
         ).write.mode("overwrite").parquet(str(root / "doc_tokens"))
+        # column-pruned re-read: only 4 narrow columns, not the token arrays
         dt = spark.read.parquet(str(root / "doc_tokens"))
         dt.select("docid", "pid", "doc_len", "content_sha256").write.mode(
             "overwrite"
         ).parquet(str(doc_stats_dir))
-        record("doc_stats", t0, rows=dt.count(), partitions=n_part)
+        record("doc_stats", t0, partitions=n_part)
 
     # ---- stage 2: SPIMI posting blocks (checkpoint granularity) ----------
     stage_dir = root / "stage_postings"
@@ -429,7 +450,7 @@ def build_index(
             .agg(F.count("*").alias("tf"))  # spillable partial+final hash agg = SPIMI
         )
         postings.write.mode("overwrite").parquet(str(stage_dir))
-        record("stage_postings", t0, rows=spark.read.parquet(str(stage_dir)).count())
+        record("stage_postings", t0)
 
     # ---- stage 3: merge shuffle -> final sorted postings + block ids -----
     postings_dir = root / "postings"
@@ -462,14 +483,18 @@ def build_index(
             )
             .select("term", "docid", "tf", "doc_len", "block_id")
         )
-        (
+        merged_part = (
             merged.repartitionByRange(n_part, "term", "docid")
-            .sortWithinPartitions("term", "docid")
+            if n_part
+            else merged.repartitionByRange("term", "docid")
+        )
+        (
+            merged_part.sortWithinPartitions("term", "docid")
             .write.mode("overwrite")
             .parquet(str(postings_dir))
         )
         blk.write.mode("overwrite").parquet(str(root / "term_df"))
-        record("postings", t0, rows=spark.read.parquet(str(postings_dir)).count())
+        record("postings", t0)
 
     # ---- stage 4: lexicon + block metadata --------------------------------
     lexicon_dir = root / "lexicon"
@@ -514,8 +539,9 @@ def build_index(
             _pack_group, schema=_PACK_SCHEMA
         )
         packed.write.mode("overwrite").parquet(str(packed_dir))
-        record("postings_packed", t0,
-               blocks=spark.read.parquet(str(packed_dir)).count())
+        record("postings_packed", t0)
 
     manifest_path.write_text(json.dumps(manifest, indent=2))
+    # every stage is materialized to parquet; cached intermediates can go
+    _release_persisted()
     return InvertedIndex(spark, str(root), manifest)
