@@ -1,1 +1,447 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators for large-scale corpus curation.
+
+Five dedup families over a (doc_id, text) table, each expressed as
+shuffle-conscious DataFrame plans (no Python in any hot path):
+
+* exact            — sha256(content) hash-groupBy (one shuffle on the hash)
+* token multiset   — md5 of the sorted token list (permutation-invariant)
+* n-gram Jaccard   — word-shingle inverted join; |A∩B| by a pair groupBy
+* MinHash + LSH    — K portable min-hashes, banded; candidates verified
+* SimHash          — 60-bit tf-weighted signature, banded Hamming join
+
+Scale notes (10^12 docs):
+* The shingle inverted join is the textbook all-pairs plan; its cost is
+  sum over shingles of |posting|^2 — boilerplate shingles are the skew
+  risk, so `ngram_jaccard_pairs` drops shingles above `max_shingle_df`
+  (the standard prefix-filtering/stop-shingle mitigation; disabled at
+  oracle scale so the SQL twin stays exact).
+* MinHash-LSH replaces the quadratic join with band-bucket joins —
+  O(candidates), the scale path. Bands/rows trade recall vs cost.
+* SimHash pairs use the pigeonhole band join (d+1 bands: any pair
+  within Hamming distance d shares at least one exact band), never a
+  cross join.
+
+The 60-bit hash is `portable_hash` (textstats.py) so every step has a
+bit-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .entry_ops import register
+from .textstats import portable_hash, portable_hash_sql, ws_tokens
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 16
+MINHASH_BANDS = 4
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # pigeonhole-exact for Hamming distance <= 3
+SIMHASH_MAX_HAMMING = 3
+ROUND = 9
+
+
+# ---------------------------------------------------------------------------
+# exact + token-multiset dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical content by sha256; keep the smallest doc_id as
+    the representative. One hash shuffle; never groups by raw content
+    (the hash is 32 bytes regardless of document size)."""
+    return (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                  F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_copies"))
+    )
+
+
+def token_fingerprint_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Permutation-invariant near-dup: md5 of the SORTED token multiset
+    (catches shuffled/boilerplate-reordered copies that exact hashing
+    misses)."""
+    key = F.md5(F.array_join(F.array_sort(ws_tokens(F.col(text_col))), " "))
+    return (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                  key.alias("token_fingerprint"))
+        .groupBy("token_fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = ws_tokens(F.col(text_col))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(sh).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All (doc_a < doc_b, jaccard) pairs with shingle-set Jaccard >=
+    threshold via the inverted shingle join. ``max_shingle_df`` drops
+    ultra-common shingles before the self-join (skew guard at scale;
+    None = exact)."""
+    sh = shingles(df, n, text_col)
+    if max_shingle_df is not None:
+        heavy = (
+            sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        )
+        sh = sh.join(F.broadcast(heavy.select("shingle")), "shingle", "left_anti")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                ROUND,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, k: int = MINHASH_K, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, hash_idx, minhash): k independent min-hashes, where
+    hash_i(s) = portable_hash(i || ':' || s). Computed by explode +
+    one (doc_id, hash_idx) min-aggregation — fully relational."""
+    sh = shingles(df, n, text_col)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_idx")
+    hashed = sh.select("doc_id", idx, "shingle").select(
+        "doc_id",
+        "hash_idx",
+        portable_hash(
+            F.concat(F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact Jaccard.
+
+    Docs agreeing on all rows of at least one band become candidates
+    (bucket equi-join, the scale path); candidates then get the exact
+    shingle Jaccard and the threshold filter — so output = exact pairs
+    RESTRICTED to LSH-recalled candidates, matching the standard
+    MinHash-dedup pipeline."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, n, k, text_col)
+    band_sig = (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("hash_idx", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    a, b = band_sig.alias("a"), band_sig.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, n, threshold, text_col)
+    return cands.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit tf-weighted SimHash per doc.
+
+    bit_j(doc) = 1 iff sum over distinct tokens of
+    tf * (+1 if bit_j(hash(token)) else -1) > 0. Relational plan:
+    explode tokens -> tf agg -> explode 60 bit positions -> signed sum
+    per (doc, bit) -> bit-pack. Two shuffles, both on dense keys.
+    """
+    toks = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("h", portable_hash(F.col("token")))
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        # shiftright/shiftleft builders take only literal shift counts;
+        # the SQL functions accept column shifts
+        (
+            F.col("tf").cast("long")
+            * (F.expr("shiftright(h, cast(j as int)) & 1") * 2 - 1)
+        ).alias("contrib"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a < doc_b, hamming) pairs within Hamming distance d, found
+    with the pigeonhole band join: split the 60-bit signature into
+    d+1 = 4 15-bit bands; any pair at distance <= d agrees exactly on
+    some band, so an equi-join per band finds ALL such pairs without a
+    cross join."""
+    sig = simhash(df, text_col).cache()
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(simhash, cast(band as int) * {band_width})"
+            f" & {(1 << band_width) - 1}"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate registration + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_SHINGLES_CTE = """
+t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks
+      FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i+2], ' ') AS shingle
+  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i) i
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 9) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+)
+"""
+
+register(
+    "dedup_exact",
+    lambda spark, sf_dir: exact_dup_groups(_docs(spark, sf_dir)),
+    """
+SELECT sha256(text) AS content_sha256,
+       min(CAST(doc_id AS BIGINT)) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+
+register(
+    "dedup_token_fingerprint",
+    lambda spark, sf_dir: token_fingerprint_groups(_docs(spark, sf_dir)),
+    """
+SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+         AS token_fingerprint,
+       min(CAST(doc_id AS BIGINT)) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+
+register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf_dir: ngram_jaccard_pairs(_docs(spark, sf_dir)),
+    f"WITH {_SHINGLES_CTE} SELECT doc_a, doc_b, jaccard FROM jac "
+    f"WHERE jaccard >= {JACCARD_THRESHOLD}",
+)
+
+_MINHASH_CTES = f"""
+hs AS (
+  SELECT sh.doc_id, i.i AS hash_idx,
+         min({portable_hash_sql("CAST(i.i AS VARCHAR) || ':' || sh.shingle")}) AS minhash
+  FROM sh, LATERAL (SELECT unnest(range(0, {MINHASH_K})) AS i) i
+  GROUP BY sh.doc_id, i.i
+),
+bandsig AS (
+  SELECT doc_id, hash_idx // {MINHASH_K // MINHASH_BANDS} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx))
+           AS band_key
+  FROM hs GROUP BY doc_id, hash_idx // {MINHASH_K // MINHASH_BANDS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsig a
+  JOIN bandsig b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+)
+"""
+
+register(
+    "dedup_minhash_lsh",
+    lambda spark, sf_dir: minhash_lsh_pairs(_docs(spark, sf_dir)),
+    f"""
+WITH {_SHINGLES_CTE}, {_MINHASH_CTES}
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {JACCARD_THRESHOLD}
+""",
+)
+
+_SIMHASH_CTES = f"""
+tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+         {portable_hash_sql("token")} AS h
+  FROM tok GROUP BY doc_id, token
+),
+bits AS (
+  SELECT doc_id, j.j,
+         sum(tf * (((h >> CAST(j.j AS INT)) & 1) * 2 - 1)) AS s
+  FROM tf, LATERAL (SELECT unnest(range(0, {SIMHASH_BITS})) AS j) j
+  GROUP BY doc_id, j.j
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash >> (CAST(b.b AS INT) * {SIMHASH_BITS // SIMHASH_BANDS}))
+           & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_val
+  FROM sig, LATERAL (SELECT unnest(range(0, {SIMHASH_BANDS})) AS b) b
+),
+scands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+)
+"""
+
+register(
+    "dedup_simhash",
+    lambda spark, sf_dir: simhash_pairs(_docs(spark, sf_dir)),
+    f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM scands
+WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+""",
+)

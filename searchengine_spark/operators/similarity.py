@@ -1,1 +1,236 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force exact top-k: broadcast the (small)
+  query set against the full vector table; O(|Q| * N) dot products,
+  all JVM-side (`zip_with`/`aggregate`), one top-k per query.
+* ``lsh_bucket_top1``  — sign-LSH bucketed ANN: 8 axis-aligned
+  hyperplane sign bits -> 256 buckets; neighbors searched only inside
+  the bucket (equi-join on the bucket id — the N×N -> N×bucket_size
+  scale path). Random-hyperplane projections are the general form;
+  axis-aligned planes keep the DuckDB oracle exact.
+* ``cosine_neardup_pairs`` — all vector pairs above a cosine
+  threshold; exact (pair join), the embedding-space near-dup check.
+
+Scale notes (10^9+ vectors): brute-force handles the query-serving
+case (|Q| small, broadcast); for all-pairs work use the LSH bucket
+join (or IVF: k-means-assign to coarse centroids + in-cell search —
+same join shape with learned buckets). Cosines are rounded to 6
+decimals on both engines so cross-engine float summation order can't
+flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .entry_ops import register
+
+ROUND = 6
+NEARDUP_COSINE = 0.35  # chosen from the synthetic corpus cosine tail
+LSH_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # 1-based dims for 8 sign bits
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+    The query side is broadcast — the scan over N vectors is embarrass-
+    ingly parallel with no shuffle until the per-query top-k."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+    )
+    q = v.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qemb"), F.col("emb")), ROUND).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """8-bit sign bucket from axis-aligned hyperplanes (dims LSH_DIMS)."""
+    bits = [
+        F.when(F.element_at(vec, d) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(LSH_DIMS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_bucket_top1(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest neighbor (top-1 cosine) within each vector's LSH bucket.
+    The bucket equi-join replaces the N x N cross join; vectors alone
+    in their bucket yield no row (standard ANN recall trade)."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "bucket"
+    )
+    b = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"), "bucket"
+    )
+    scored = a.join(b, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "bucket",
+        "neighbor_id",
+        F.round(cosine(F.col("qemb"), F.col("nemb")), ROUND).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "bucket", "neighbor_id", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (vec_a < vec_b) pairs with cosine >= threshold (exact pair
+    join; at scale restrict to LSH/IVF candidates first)."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), ROUND).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate registration + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+register(
+    "ann_cosine_topk",
+    lambda spark, sf_dir: cosine_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5),
+    f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.emb, v.emb), {ROUND}) AS cosine
+  FROM v q JOIN v ON v.vec_id != q.vec_id
+  WHERE q.vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN emb[{d}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(LSH_DIMS)
+)
+
+register(
+    "ann_lsh_bucket_top1",
+    lambda spark, sf_dir: lsh_bucket_top1(_emb(spark, sf_dir)),
+    f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb,
+         CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.emb, b.emb), {ROUND}) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, bucket, neighbor_id, cosine FROM ranked WHERE rn = 1
+""",
+)
+
+register(
+    "embedding_neardup",
+    lambda spark, sf_dir: cosine_neardup_pairs(_emb(spark, sf_dir)),
+    f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), {ROUND}) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), {ROUND}) >= {NEARDUP_COSINE}
+""",
+)
