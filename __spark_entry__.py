@@ -278,6 +278,51 @@ WHERE r.rank <= 10
 """
 
 
+def _q_topk_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-parallel block-max MaxScore scorer (J6): broadcast
+    query-term posting lists, per-slice cursor pruning, provable TUBs.
+    Oracle = the exact disjunctive SQL — pruning is a performance
+    device, not a semantics change."""
+    from searchengine_spark.operators.maxscore import maxscore_topk
+
+    idx = _frames(spark, sf_dir)
+    return maxscore_topk(
+        idx, "merge sort batch", k=10, conjunctive=False, scoring="bm25",
+        round_decimals=ROUND,
+    )
+
+
+def _q_topk_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k served THROUGH the compressed posting path: postings
+    -> gap-VB/unary pack -> decode -> score. Proves the C1-C4 codecs
+    inside the query pipeline; oracle = the exact disjunctive SQL."""
+    from searchengine_spark.operators.frames import IndexFrames
+    from searchengine_spark.operators.indexer import (
+        _PACK_SCHEMA,
+        _pack_group,
+        unpack_postings,
+    )
+    from searchengine_spark.operators.query import top_k
+
+    idx = _frames(spark, sf_dir)
+    packed = (
+        idx.postings.withColumn("block_id", F.lit(0).cast("long"))
+        .groupBy("term", "block_id")
+        .applyInPandas(_pack_group, schema=_PACK_SCHEMA)
+    )
+    unpacked = unpack_postings(packed).drop("block_id")
+    doc_len = idx.doc_stats.select("docid", "doc_len")
+    postings = unpacked.join(doc_len, "docid").select(
+        "term", "docid", "tf", "doc_len"
+    )
+    idx2 = IndexFrames(
+        idx.spark, idx.doc_stats, postings, idx.lexicon, idx.blocks,
+        idx.stats, idx.manifest,
+    )
+    return top_k(idx2, "window agg batch", k=10, scoring="bm25",
+                 round_decimals=ROUND)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-chain (stop+stem) BM25 top-10 on sf0.001."""
     from searchengine_spark.operators.frames import build_index_frames
@@ -303,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_tfidf_conj": _q_topk("slow query merge", "tfidf", True),
         "topk_conj_missing_term": _q_topk("spark plan", "bm25", True),  # P10
         "trec_run": _q_trec_run,              # S14
+        # pruning scorer (J6) + compressed query path (C1-C4 round-trip)
+        "topk_bm25_maxscore": _q_topk_maxscore,
+        "topk_bm25_packed": _q_topk_packed,
     }
     from searchengine_spark.operators.entry_ops import extra_queries
 
@@ -369,6 +417,8 @@ FROM ranked GROUP BY term, CAST(rnk // max_per_block AS BIGINT)
         "topk_tfidf_conj": _topk_sql(["slow", "query", "merge"], "tfidf", True, 10),
         "topk_conj_missing_term": _topk_sql(["spark", "plan"], "bm25", True, 10),
         "trec_run": _trec_sql(),
+        "topk_bm25_maxscore": _topk_sql(["merge", "sort", "batch"], "bm25", False, 10),
+        "topk_bm25_packed": _topk_sql(["window", "agg", "batch"], "bm25", False, 10),
     }
     from searchengine_spark.operators.entry_ops import extra_oracle_sql
 

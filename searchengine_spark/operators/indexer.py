@@ -309,15 +309,28 @@ def compute_lexicon(postings: DataFrame, n_docs: int, avg_doc_len: float) -> Dat
             F.col("doc_len").alias("dl"),
         )
     ).alias("best")
+    # PROVABLE per-term BM25 bound factor: max over postings of
+    # ltf/(ltf + k1*(1-b+b*dl/avgdl)). The reference's tub_bm25 uses raw
+    # bm25_tf (an admitted heuristic, documentation.pdf §3.2.1) and is
+    # NOT a true upper bound; MaxScore pruning with the exact bound is
+    # guaranteed rank-identical to DAAT (tub_bm25_exact = idf * max_g).
+    ltf = F.lit(1.0) + F.log10(F.col("tf").cast("double"))
+    g = ltf / (
+        ltf
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len").cast("double") / F.lit(avg_doc_len))
+    )
+    max_g = F.max(g).alias("max_g_bm25")
     return (
         postings.groupBy("term")
-        .agg(F.count("*").alias("df"), F.max("tf").alias("max_tf"), best)
+        .agg(F.count("*").alias("df"), F.max("tf").alias("max_tf"), best, max_g)
         .select(
             "term",
             "df",
             "max_tf",
             F.col("best.tf").alias("bm25_tf"),
             F.col("best.dl").alias("bm25_dl"),
+            "max_g_bm25",
         )
         .withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df").cast("double")))
         .withColumn(
@@ -336,6 +349,7 @@ def compute_lexicon(postings: DataFrame, n_docs: int, avg_doc_len: float) -> Dat
                 )
             ),
         )
+        .withColumn("tub_bm25_exact", F.col("idf") * F.col("max_g_bm25"))
     )
 
 
@@ -368,6 +382,51 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "tfs_unary": [unary_encode(tfs)],
         }
     )
+
+
+_UNPACK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("block_id", T.LongType()),
+        T.StructField("docid", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+    ]
+)
+
+
+def unpack_postings(packed: DataFrame) -> DataFrame:
+    """Inverse of the packed-postings writer: decode gap-VB docids and
+    unary tfs back to (term, block_id, docid, tf) rows. Arrow-batched
+    mapInPandas — each packed block row is independent (this is the
+    query-side block reader, BlockDescriptor.getBlockPostings
+    semantics, common/.../BlockDescriptor.java:136-201)."""
+    import numpy as np
+
+    from ..functions.codecs import gaps_decode, unary_decode, vb_decode
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"term": [], "block_id": [], "docid": [], "tf": []}
+            for _, row in pdf.iterrows():
+                n = int(row["num_postings"])
+                docids = gaps_decode(vb_decode(bytes(row["docids_vb"]), n))
+                tfs = unary_decode(bytes(row["tfs_unary"]), n)
+                out["term"].extend([row["term"]] * n)
+                out["block_id"].extend([int(row["block_id"])] * n)
+                out["docid"].extend(docids.tolist())
+                out["tf"].extend(tfs.tolist())
+            yield pd.DataFrame(
+                {
+                    "term": out["term"],
+                    "block_id": np.asarray(out["block_id"], dtype=np.int64),
+                    "docid": np.asarray(out["docid"], dtype=np.int64),
+                    "tf": np.asarray(out["tf"], dtype=np.int32),
+                }
+            )
+
+    return packed.select(
+        "term", "block_id", "num_postings", "docids_vb", "tfs_unary"
+    ).mapInPandas(unpack, _UNPACK_SCHEMA)
 
 
 def build_index(

@@ -1,0 +1,244 @@
+"""Partition-parallel block-max MaxScore top-k scorer.
+
+Re-expresses the reference's MaxScore dynamic pruning
+(/root/reference/queryHandler/.../MaxScore.java:42-132) for Spark's
+execution model, per the serving design in SURVEY.md §3.2:
+
+1. the query's lexicon rows (<= |q|) are collected;
+2. the query terms' posting lists are gathered to the driver and
+   BROADCAST (they are the same data the reference streams from local
+   disk — small relative to the cluster: |q| terms, not the corpus);
+3. the docid space is split into P ranges; each task runs the
+   MaxScore/DAAT cursor algorithm over its slice of every posting list
+   (numpy ``searchsorted`` = the skip-pointer ``nextGEQ`` jump,
+   PostingList.java:185-215) and emits its local top-k;
+4. the P local top-k sets reduce to the global top-k (same heap
+   semantics: strict ``>``, earlier docid retained on ties — here
+   ``score DESC, docid ASC``).
+
+Pruning uses the PROVABLE per-term upper bound (``tub_bm25_exact`` /
+``tub_tfidf`` from the lexicon) — the reference's raw-tf ``tub_bm25``
+is an admitted heuristic that is not a true bound
+(VocabularyEntry.java:340 vs Scorer.java:43, documentation.pdf §3.2.1)
+and could make pruned results diverge from DAAT. With exact bounds,
+MaxScore is rank-identical to exact DAAT scoring by construction; the
+reference's own tests assert DAAT == MaxScore (QueryProcesserTest).
+
+The per-slice algorithm mirrors MaxScore.java:
+* lists sorted ascending by term upper bound            (:309-322)
+* essential/non-essential split where the cumulative TUB
+  first exceeds the current threshold                   (:204-222)
+* essential lists drive candidate docids (DAAT union)   (:172-194)
+* non-essential lists probed via nextGEQ only while
+  partial + remaining-TUB can still beat the threshold  (:142-161)
+* threshold <- k-th best score once the heap is full    (:108-122)
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .indexer import B, K1
+from .query import query_terms
+
+K1_F = float(K1)
+B_F = float(B)
+
+
+def _score_arrays(
+    scoring: str, idf: float, tfs: np.ndarray, dls: np.ndarray, avgdl: float
+) -> np.ndarray:
+    """Vectorized Scorer.java:40-64 over a posting slice."""
+    ltf = 1.0 + np.log10(tfs.astype(np.float64))
+    if scoring == "bm25":
+        denom = ltf + K1_F * ((1.0 - B_F) + B_F * dls.astype(np.float64) / avgdl)
+        return idf * ltf / denom
+    return idf * ltf
+
+
+def _maxscore_slice(
+    lists: list[dict],
+    lo: int,
+    hi: int,
+    k: int,
+    conjunctive: bool,
+) -> list[tuple[float, int]]:
+    """MaxScore over docid range [lo, hi). ``lists`` ascending by tub.
+
+    Returns up to k (score, docid) pairs. Cursor state is a per-list
+    index; nextGEQ is a searchsorted jump on the (sorted) docid array.
+    """
+    n = len(lists)
+    views = []
+    for pl in lists:
+        d = pl["docids"]
+        s, e = np.searchsorted(d, lo), np.searchsorted(d, hi)
+        views.append((d[s:e], pl["scores"][s:e]))
+    tubs = np.array([pl["tub"] for pl in lists])
+    suffix_tub = np.cumsum(tubs)  # suffix_tub[i] = sum of tubs[0..i]
+
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -docid)
+    threshold = -np.inf
+    pos = [0] * n
+    first_essential = 0
+
+    def push(score: float, docid: int) -> None:
+        nonlocal threshold, first_essential
+        item = (score, -docid)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+            if len(heap) == k:
+                threshold = heap[0][0]
+        elif score > heap[0][0]:  # strict > (DAAT.java:191)
+            heapq.heapreplace(heap, item)
+            threshold = heap[0][0]
+        else:
+            return
+        # re-split essential/non-essential (MaxScore.java:204-222)
+        while (
+            first_essential < n and suffix_tub[first_essential] <= threshold
+        ):
+            first_essential += 1
+
+    while True:
+        # next candidate = min current docid across essential lists
+        cand = None
+        for i in range(first_essential, n):
+            d, _ = views[i]
+            if pos[i] < len(d):
+                v = int(d[pos[i]])
+                if cand is None or v < cand:
+                    cand = v
+        if cand is None:
+            break
+
+        score = 0.0
+        matched = 0
+        # essential lists at the candidate
+        for i in range(first_essential, n):
+            d, s = views[i]
+            p = pos[i]
+            if p < len(d) and int(d[p]) == cand:
+                score += float(s[p])
+                matched += 1
+                pos[i] = p + 1
+
+        # non-essential probes, highest tub first, with early bailout
+        # (MaxScore.java:142-161)
+        viable = True
+        for i in range(first_essential - 1, -1, -1):
+            if not conjunctive and score + suffix_tub[i] <= threshold:
+                viable = False
+                break
+            d, s = views[i]
+            p = pos[i] + np.searchsorted(d[pos[i] :], cand)  # nextGEQ
+            pos[i] = int(p)
+            if p < len(d) and int(d[p]) == cand:
+                score += float(s[p])
+                matched += 1
+            elif conjunctive:
+                viable = False
+                break
+
+        if conjunctive:
+            if viable and matched == len(lists):
+                push(score, cand)
+        elif viable:
+            push(score, cand)
+
+    return [(sc, -nd) for sc, nd in heap]
+
+
+def maxscore_topk(
+    index,
+    text: str,
+    k: int = 10,
+    conjunctive: bool = False,
+    scoring: str = "bm25",
+    num_slices: int | None = None,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Top-k via broadcast posting lists + partition-parallel MaxScore.
+
+    Rank-identical to ``query.top_k`` (exact DAAT); asserted in
+    tests/test_maxscore.py on randomized corpora, mirroring the
+    reference's own DAAT==MaxScore golden tests.
+    """
+    spark = index.spark
+    stats = index.stats
+    stem_stop = index.manifest["flags"]["stem_stop"]
+    avgdl = stats["total_doc_len"] / stats["n_docs"]
+    n_docs = stats["n_docs"]
+
+    terms = query_terms(text, stem_stop)
+    empty = spark.createDataFrame([], "docid long, pid string, score double")
+    if not terms:
+        return empty
+
+    lex_cols = ["term", "idf", "tub_tfidf", "tub_bm25_exact"]
+    lex_rows = index.lexicon.filter(F.col("term").isin(terms)).select(*lex_cols).collect()
+    by_term = {r["term"]: r for r in lex_rows}
+    missing = [t for t in terms if t not in by_term]
+    if conjunctive and missing:
+        return empty
+    present = [t for t in terms if t in by_term]
+    if not present:
+        return empty
+
+    # gather + broadcast the query-term posting lists (SURVEY §3.2:
+    # driver holds <= |q| lists, same as the reference's query node)
+    pdf = (
+        index.postings.filter(F.col("term").isin(present))
+        .select("term", "docid", "tf", "doc_len")
+        .toPandas()
+    )
+    lists = []
+    for t in present:
+        sub = pdf[pdf["term"] == t].sort_values("docid")
+        r = by_term[t]
+        idf = float(r["idf"])
+        scores = _score_arrays(
+            scoring,
+            idf,
+            sub["tf"].to_numpy(),
+            sub["doc_len"].to_numpy(),
+            avgdl,
+        )
+        tub = float(r["tub_bm25_exact"] if scoring == "bm25" else r["tub_tfidf"])
+        lists.append(
+            {"docids": sub["docid"].to_numpy(np.int64), "scores": scores, "tub": tub}
+        )
+    lists.sort(key=lambda pl: pl["tub"])  # ascending (MaxScore.java:309-322)
+
+    sc = spark.sparkContext
+    bc = sc.broadcast(lists)
+    p = num_slices or max(2, min(sc.defaultParallelism, 64))
+    step = max(1, (n_docs + p) // p)
+    ranges = [(lo, min(lo + step, n_docs + 1)) for lo in range(1, n_docs + 1, step)]
+
+    def run_slice(rng):
+        lo, hi = rng
+        return _maxscore_slice(bc.value, lo, hi, k, conjunctive)
+
+    local = sc.parallelize(ranges, len(ranges)).flatMap(run_slice).collect()
+    bc.unpersist()
+    # global top-k with the heap's tie rule: score DESC, docid ASC
+    local.sort(key=lambda t: (-t[0], t[1]))
+    top = local[:k]
+    if not top:
+        return empty
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for s, d in top], "docid long, score double"
+    )
+    if round_decimals is not None:
+        out = out.withColumn("score", F.round("score", round_decimals))
+    return (
+        F.broadcast(out)
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .select("docid", "pid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
