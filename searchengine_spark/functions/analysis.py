@@ -134,10 +134,20 @@ def process_text(text: str, stem_stop: bool = True) -> list[str]:
 
 
 def cleaned_col(text: Column) -> Column:
-    """JVM-side strip_non_ascii + clean_text as chained regexp_replace."""
+    """JVM-side strip_non_ascii + clean_text as chained regexp_replace.
+
+    The URL pattern's big bounded char class (``{2,256}``) backtracks
+    heavily on letter-only text (~8 ms/doc measured); but it REQUIRES a
+    literal ``.`` and the HTML pattern a literal ``<``, so a cheap
+    contains() guard skips them with exact semantic equivalence —
+    documents without the sentinel character cannot match."""
     c = F.regexp_replace(text, NON_ASCII_PATTERN, "")
-    c = F.regexp_replace(c, URL_PATTERN, " ")
-    c = F.regexp_replace(c, HTML_PATTERN, " ")
+    c = F.when(
+        F.contains(c, F.lit(".")), F.regexp_replace(c, URL_PATTERN, " ")
+    ).otherwise(c)
+    c = F.when(
+        F.contains(c, F.lit("<")), F.regexp_replace(c, HTML_PATTERN, " ")
+    ).otherwise(c)
     c = F.regexp_replace(c, NON_LETTER_PATTERN, " ")
     c = F.regexp_replace(c, REPEAT3_PATTERN, "$1$1")
     c = F.regexp_replace(c, MULTISPACE_PATTERN, " ")

@@ -1,0 +1,76 @@
+"""Result / debug sinks (SURVEY.md §2.1 S13-S15).
+
+* TREC results sink — `qid Q0 pid rank score runid` lines for
+  trec_eval (performanceTests/.../QueryPerformancesMain.java:37-58).
+* Debug dumps — human-readable JSON of postings / lexicon / doc index
+  behind a debug flag (PostingList.java:237-275,
+  VocabularyEntry.java:436-447, DocumentIndexEntry.java:212-223).
+* Build-stats sink — one TSV row per build: args, duration, sizes
+  (indexer/.../Main.java:99-111); here the manifest already carries
+  per-stage metrics, this writes the flat summary row.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trec_lines(results: DataFrame, qid_col: str = "qid", run_id: str = "searchengine_spark") -> DataFrame:
+    """(qid, docid, pid, score) -> single-column TREC lines, ranked
+    per qid by (score DESC, docid ASC)."""
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col("docid").asc())
+    return results.withColumn("rank", F.row_number().over(w)).select(
+        F.concat_ws(
+            " ",
+            F.col(qid_col),
+            F.lit("Q0"),
+            F.col("pid"),
+            F.col("rank"),
+            F.col("score").cast("string"),
+            F.lit(run_id),
+        ).alias("value")
+    )
+
+
+def write_trec(results: DataFrame, path: str, run_id: str = "searchengine_spark") -> None:
+    """Write a trec_eval-consumable run file (one part per partition;
+    coalesce(1) for the single-file convention at evaluation scale)."""
+    trec_lines(results, run_id=run_id).coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_debug_dumps(index, out_dir: str) -> None:
+    """Debug sinks: JSON dumps of the index tables (reference flag -d)."""
+    root = Path(out_dir)
+    index.postings.orderBy("term", "docid").write.mode("overwrite").json(
+        str(root / "postings_debug")
+    )
+    index.lexicon.orderBy("term").write.mode("overwrite").json(
+        str(root / "lexicon_debug")
+    )
+    index.doc_stats.orderBy("docid").write.mode("overwrite").json(
+        str(root / "doc_stats_debug")
+    )
+
+
+def append_build_stats(index, args: str, total_sec: float, stats_path: str) -> None:
+    """One TSV row: args, total seconds, per-stage seconds, collection
+    stats (indexerStatistics.tsv equivalent)."""
+    stages = {k: v.get("sec") for k, v in index.manifest.get("stages", {}).items()}
+    row = "\t".join(
+        [
+            time.strftime("%Y-%m-%dT%H:%M:%S"),
+            args,
+            f"{total_sec:.2f}",
+            json.dumps(stages),
+            json.dumps(index.manifest.get("stats", {})),
+        ]
+    )
+    p = Path(stats_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with p.open("a") as f:
+        f.write(row + "\n")

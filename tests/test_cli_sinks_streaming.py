@@ -1,0 +1,121 @@
+"""End-to-end tests for the CLI, sinks, packaging, and streaming
+incremental indexing."""
+
+from __future__ import annotations
+
+import glob
+import zipfile
+
+import pytest
+
+from searchengine_spark import cli
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, spark):
+    """Build a real on-disk index from sf0.001 documents via the CLI."""
+    root = tmp_path_factory.mktemp("cliidx")
+    rc = cli.main(
+        [
+            "build",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--index-dir", str(root / "idx"),
+            "--overwrite",
+        ]
+    )
+    assert rc == 0
+    return root / "idx"
+
+
+def test_cli_build_artifacts(built):
+    assert (built / "manifest.json").exists()
+    assert (built / "indexerStatistics.tsv").exists()
+    for sub in ("doc_stats", "postings", "lexicon", "blocks", "postings_packed"):
+        assert (built / sub / "_SUCCESS").exists(), sub
+
+
+def test_cli_query(built, capsys):
+    rc = cli.main(["query", "--index-dir", str(built), "spark join", "-k", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "results in" in out
+
+
+def test_cli_query_maxscore_matches(built, capsys):
+    cli.main(["query", "--index-dir", str(built), "table scan fast", "-k", "5"])
+    daat = capsys.readouterr().out.splitlines()[:-1]
+    cli.main(["query", "--index-dir", str(built), "table scan fast", "-k", "5",
+              "--maxscore"])
+    ms = capsys.readouterr().out.splitlines()[:-1]
+    assert daat == ms and len(daat) == 5
+
+
+def test_cli_eval_trec(built, tmp_path, capsys):
+    qfile = tmp_path / "queries.tsv"
+    qfile.write_text("q1\tspark join\nq2\thash table\n")
+    out_dir = tmp_path / "run"
+    rc = cli.main(
+        ["eval", "--index-dir", str(built), "--queries", str(qfile),
+         "--output", str(out_dir), "-k", "5"]
+    )
+    assert rc == 0
+    lines = []
+    for p in glob.glob(f"{out_dir}/part-*"):
+        lines += open(p).read().splitlines()
+    assert len(lines) == 10
+    parts = lines[0].split(" ")
+    assert len(parts) == 6 and parts[1] == "Q0" and parts[5] == "searchengine_spark"
+    ranks = sorted(int(ln.split(" ")[3]) for ln in lines if ln.startswith("q1 "))
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_debug_dumps(built, spark, tmp_path):
+    from searchengine_spark.operators.indexer import InvertedIndex
+    from searchengine_spark.sources.sinks import write_debug_dumps
+
+    idx = InvertedIndex.load(spark, str(built))
+    write_debug_dumps(idx, str(tmp_path))
+    assert spark.read.json(str(tmp_path / "lexicon_debug")).count() > 0
+
+
+def test_package_zip(tmp_path):
+    import subprocess
+    import sys
+
+    out = tmp_path / "se.zip"
+    subprocess.run(
+        [sys.executable, "tools/package.py", str(out)], check=True, cwd="/root/repo"
+    )
+    names = zipfile.ZipFile(out).namelist()
+    assert "searchengine_spark/cli.py" in names
+    assert "searchengine_spark/functions/stopwords.txt" in names
+
+
+def test_streaming_ingest_and_compact(spark, tmp_path):
+    from searchengine_spark.operators.query import top_k
+    from searchengine_spark.streaming.incremental import compact, start_ingest
+
+    src = tmp_path / "src"
+    idxd = tmp_path / "sidx"
+    batch1 = spark.createDataFrame(
+        [("p1", "spark join fast"), ("p2", "hash table")],
+        "pid string, content string",
+    )
+    batch1.write.mode("append").parquet(str(src))
+    q = start_ingest(spark, str(src), str(idxd), stem_stop=False)
+    q.awaitTermination(120)
+
+    batch2 = spark.createDataFrame(
+        [("p3", "spark table scan"), ("p1", "spark join fast updated")],
+        "pid string, content string",
+    )
+    batch2.write.mode("append").parquet(str(src))
+    q2 = start_ingest(spark, str(src), str(idxd), stem_stop=False)
+    q2.awaitTermination(120)
+
+    idx = compact(spark, str(idxd))
+    assert idx.stats["n_docs"] == 3  # p1 superseded, not duplicated
+    stats = {r["pid"]: r["doc_len"] for r in idx.doc_stats.collect()}
+    assert stats["p1"] == 4  # the batch-2 version won
+    hits = [r["pid"] for r in top_k(idx, "spark", k=10).collect()]
+    assert set(hits) == {"p1", "p3"}
