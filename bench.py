@@ -80,6 +80,19 @@ def main() -> None:
             timings[name] = round(statistics.median(runs[1:]), 3)
             lat.extend(runs[1:])
 
+        # training-data pipeline ops at the same sf
+        from searchengine_spark.operators.dedup import minhash_lsh_pairs
+        from searchengine_spark.operators.similarity import cosine_topk
+
+        docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tq = time.time()
+        minhash_lsh_pairs(docs_raw).count()
+        timings["dedup_minhash_lsh"] = round(time.time() - tq, 3)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        tq = time.time()
+        cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count()
+        timings["ann_cosine_topk"] = round(time.time() - tq, 3)
+
         total = round(sum(timings.values()), 3)
         out = {
             "metric": "index_build_plus_topk_queries",

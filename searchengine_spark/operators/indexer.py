@@ -353,6 +353,94 @@ def compute_lexicon(postings: DataFrame, n_docs: int, avg_doc_len: float) -> Dat
     )
 
 
+def compute_lexicon_salted(
+    postings: DataFrame,
+    n_docs: int,
+    avg_doc_len: float,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Two-phase salted twin of ``compute_lexicon`` for skew-extreme
+    vocabularies (north-rule requirement: stopword-heavy / boilerplate
+    code terms whose posting lists hold a large fraction of all docs).
+
+    Catalyst's partial+final hash aggregation already combines map-side,
+    so plain ``groupBy(term)`` handles most skew; the salted form adds
+    an explicit intermediate reduction keyed by ``(term, salt)`` —
+    bounding ANY single reduce task to ~1/salt_buckets of a heavy
+    term's postings even when the map-side combine ratio is poor (e.g.
+    high-cardinality agg state or per-term array collection). Every
+    statistic here decomposes associatively:
+
+      df   = sum of partial counts        max_tf = max of partial maxes
+      best = struct-max of partial maxes  max_g  = max of partial maxes
+
+    so the salted result is EXACTLY equal to the unsalted one
+    (asserted in tests/test_skew.py).
+    """
+    salt = F.pmod(F.hash(F.col("docid")), F.lit(salt_buckets)).alias("salt")
+    ratio = F.col("tf").cast("double") / (F.col("doc_len") + F.col("tf")).cast("double")
+    ltf = F.lit(1.0) + F.log10(F.col("tf").cast("double"))
+    g = ltf / (
+        ltf
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len").cast("double") / F.lit(avg_doc_len))
+    )
+    part = (
+        postings.withColumn("salt", salt)
+        .groupBy("term", "salt")
+        .agg(
+            F.count("*").alias("df_p"),
+            F.max("tf").alias("max_tf_p"),
+            F.max(
+                F.struct(
+                    ratio.alias("r"),
+                    (-F.col("docid")).alias("nd"),
+                    F.col("tf").alias("tf"),
+                    F.col("doc_len").alias("dl"),
+                )
+            ).alias("best_p"),
+            F.max(g).alias("max_g_p"),
+        )
+    )
+    merged = part.groupBy("term").agg(
+        F.sum("df_p").alias("df"),
+        F.max("max_tf_p").alias("max_tf"),
+        F.max("best_p").alias("best"),
+        F.max("max_g_p").alias("max_g_bm25"),
+    )
+    out = merged.select(
+        "term",
+        "df",
+        "max_tf",
+        F.col("best.tf").alias("bm25_tf"),
+        F.col("best.dl").alias("bm25_dl"),
+        "max_g_bm25",
+    )
+    out = (
+        out.withColumn(
+            "idf", F.log10(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+        .withColumn(
+            "tub_tfidf",
+            (F.lit(1.0) + F.log10(F.col("max_tf").cast("double"))) * F.col("idf"),
+        )
+        .withColumn(
+            "tub_bm25",
+            (F.col("idf") * F.col("bm25_tf"))
+            / (
+                F.col("bm25_tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("bm25_dl").cast("double") / F.lit(avg_doc_len)
+                )
+            ),
+        )
+        .withColumn("tub_bm25_exact", F.col("idf") * F.col("max_g_bm25"))
+    )
+    return out
+
+
 _PACK_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
