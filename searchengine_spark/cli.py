@@ -99,9 +99,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
     from .sources.sinks import write_trec
 
     spark = _spark("se-eval")
-    idx = InvertedIndex.load(spark, args.index_dir)
-    idx.postings.cache().count()
-    idx.doc_stats.cache().count()
+    idx = InvertedIndex.load(spark, args.index_dir).warm()
     queries = []
     with open(args.queries) as f:
         for line in f:

@@ -43,6 +43,7 @@ class IndexFrames:
     blocks: DataFrame
     stats: dict
     manifest: dict
+    lexicon_map: dict | None = None  # driver-side memo (see InvertedIndex.warm)
 
 
 def tokenized_docs(docs: DataFrame, stem_stop: bool) -> DataFrame:

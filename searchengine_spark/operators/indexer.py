@@ -113,6 +113,37 @@ class InvertedIndex:
     def stats(self) -> dict:
         return self.manifest["stats"]
 
+    # driver-side memos (None = not warmed / too large)
+    lexicon_map: dict | None = None
+    pid_map: dict | None = None
+
+    def warm(
+        self,
+        max_lexicon_rows: int = 1_000_000,
+        max_doc_rows: int = 5_000_000,
+    ) -> "InvertedIndex":
+        """Serving-mode warm-up: cache the hot tables and, when small
+        enough, pull the lexicon and the docid->pid map into driver
+        dicts so a query costs zero Spark jobs for term lookup and pid
+        resolution — the reference's exact serving posture (it loads
+        the ENTIRE DocumentIndex into RAM at startup,
+        DocumentIndex.java:55-75, and LRU-caches vocabulary entries,
+        Vocabulary.java:11-17).
+
+        Beyond the thresholds (10^12-doc scale) queries fall back to
+        the filtered-read point lookup and the broadcast pid join."""
+        self.postings.cache().count()
+        ds = self.doc_stats.cache()
+        lex = self.lexicon.cache()
+        if lex.count() <= max_lexicon_rows:
+            self.lexicon_map = {r["term"]: r.asDict() for r in lex.collect()}
+        if ds.count() <= max_doc_rows:
+            self.pid_map = {
+                r["docid"]: r["pid"]
+                for r in ds.select("docid", "pid").collect()
+            }
+        return self
+
 
 def docs_from_code_table(df: DataFrame) -> DataFrame:
     """Adapt the north-star input (repo, path, commit, lang, content) to

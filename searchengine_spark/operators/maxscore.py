@@ -78,6 +78,7 @@ def _maxscore_slice(
         d = pl["docids"]
         s, e = np.searchsorted(d, lo), np.searchsorted(d, hi)
         views.append((d[s:e], pl["scores"][s:e]))
+    qpos = [pl["qpos"] for pl in lists]
     tubs = np.array([pl["tub"] for pl in lists])
     suffix_tub = np.cumsum(tubs)  # suffix_tub[i] = sum of tubs[0..i]
 
@@ -116,7 +117,12 @@ def _maxscore_slice(
         if cand is None:
             break
 
-        score = 0.0
+        # contributions collected per-list, summed at push time in
+        # QUERY-TERM order — DAAT folds partials in term_idx order
+        # (DAAT.java:139-162) and float addition is not associative,
+        # so summing in TUB order could flip ties at the k boundary
+        contribs: list[tuple[int, float]] = []
+        score = 0.0  # running bound-side accumulator (pruning only)
         matched = 0
         # essential lists at the candidate
         for i in range(first_essential, n):
@@ -124,6 +130,7 @@ def _maxscore_slice(
             p = pos[i]
             if p < len(d) and int(d[p]) == cand:
                 score += float(s[p])
+                contribs.append((qpos[i], float(s[p])))
                 matched += 1
                 pos[i] = p + 1
 
@@ -139,16 +146,20 @@ def _maxscore_slice(
             pos[i] = int(p)
             if p < len(d) and int(d[p]) == cand:
                 score += float(s[p])
+                contribs.append((qpos[i], float(s[p])))
                 matched += 1
             elif conjunctive:
                 viable = False
                 break
 
-        if conjunctive:
-            if viable and matched == len(lists):
-                push(score, cand)
-        elif viable:
-            push(score, cand)
+        if (conjunctive and viable and matched == len(lists)) or (
+            not conjunctive and viable
+        ):
+            contribs.sort()
+            exact = 0.0
+            for _, v in contribs:
+                exact += v
+            push(exact, cand)
 
     return [(sc, -nd) for sc, nd in heap]
 
@@ -161,6 +172,7 @@ def maxscore_topk(
     scoring: str = "bm25",
     num_slices: int | None = None,
     round_decimals: int | None = None,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Top-k via broadcast posting lists + partition-parallel MaxScore.
 
@@ -180,8 +192,15 @@ def maxscore_topk(
         return empty
 
     lex_cols = ["term", "idf", "tub_tfidf", "tub_bm25_exact"]
-    lex_rows = index.lexicon.filter(F.col("term").isin(terms)).select(*lex_cols).collect()
-    by_term = {r["term"]: r for r in lex_rows}
+    lmap = getattr(index, "lexicon_map", None)
+    if lmap is not None:
+        by_term = {t: lmap[t] for t in terms if t in lmap}
+    else:
+        lex_rows = (
+            index.lexicon.filter(F.col("term").isin(terms))
+            .select(*lex_cols).collect()
+        )
+        by_term = {r["term"]: r for r in lex_rows}
     missing = [t for t in terms if t not in by_term]
     if conjunctive and missing:
         return empty
@@ -190,55 +209,91 @@ def maxscore_topk(
         return empty
 
     # gather + broadcast the query-term posting lists (SURVEY §3.2:
-    # driver holds <= |q| lists, same as the reference's query node)
-    pdf = (
-        index.postings.filter(F.col("term").isin(present))
-        .select("term", "docid", "tf", "doc_len")
-        .toPandas()
-    )
+    # driver holds <= |q| lists, same as the reference's query node).
+    # A per-term LRU of raw posting arrays mirrors the reference's
+    # 1000-entry Vocabulary cache (Vocabulary.java:17, CacheTests):
+    # repeat terms skip the fetch job entirely.
+    lru = getattr(index, "_postings_lru", None)
+    if lru is None:
+        from collections import OrderedDict
+
+        lru = OrderedDict()
+        try:
+            index._postings_lru = lru
+        except AttributeError:
+            pass
+    to_fetch = [t for t in present if t not in lru]
+    if to_fetch:
+        pdf = (
+            index.postings.filter(F.col("term").isin(to_fetch))
+            .select("term", "docid", "tf", "doc_len")
+            .toPandas()
+        )
+        for t in to_fetch:
+            sub = pdf[pdf["term"] == t].sort_values("docid")
+            lru[t] = (
+                sub["docid"].to_numpy(np.int64),
+                sub["tf"].to_numpy(),
+                sub["doc_len"].to_numpy(),
+            )
+            while len(lru) > 1000:  # reference LRU size (Vocabulary.java:17)
+                lru.popitem(last=False)
     lists = []
     for t in present:
-        sub = pdf[pdf["term"] == t].sort_values("docid")
+        docids, tfs, dls = lru[t]
+        lru.move_to_end(t)
         r = by_term[t]
         idf = float(r["idf"])
-        scores = _score_arrays(
-            scoring,
-            idf,
-            sub["tf"].to_numpy(),
-            sub["doc_len"].to_numpy(),
-            avgdl,
-        )
+        scores = _score_arrays(scoring, idf, tfs, dls, avgdl)
         tub = float(r["tub_bm25_exact"] if scoring == "bm25" else r["tub_tfidf"])
         lists.append(
-            {"docids": sub["docid"].to_numpy(np.int64), "scores": scores, "tub": tub}
+            {
+                "docids": docids,
+                "scores": scores,
+                "tub": tub,
+                "qpos": len(lists),  # original query-term order
+            }
         )
     lists.sort(key=lambda pl: pl["tub"])  # ascending (MaxScore.java:309-322)
 
-    sc = spark.sparkContext
-    bc = sc.broadcast(lists)
-    p = num_slices or max(2, min(sc.defaultParallelism, 64))
-    step = max(1, (n_docs + p) // p)
-    ranges = [(lo, min(lo + step, n_docs + 1)) for lo in range(1, n_docs + 1, step)]
+    total_postings = sum(len(pl["docids"]) for pl in lists)
+    if total_postings <= local_threshold and num_slices is None:
+        # serving fast path: the lists are already on the driver (the
+        # reference's single-node posture) — score here, no Spark jobs
+        local = _maxscore_slice(lists, 1, n_docs + 1, k, conjunctive)
+    else:
+        sc = spark.sparkContext
+        bc = sc.broadcast(lists)
+        p = num_slices or max(2, min(sc.defaultParallelism, 64))
+        step = max(1, (n_docs + p) // p)
+        ranges = [(lo, min(lo + step, n_docs + 1)) for lo in range(1, n_docs + 1, step)]
 
-    def run_slice(rng):
-        lo, hi = rng
-        return _maxscore_slice(bc.value, lo, hi, k, conjunctive)
+        def run_slice(rng):
+            lo, hi = rng
+            return _maxscore_slice(bc.value, lo, hi, k, conjunctive)
 
-    local = sc.parallelize(ranges, len(ranges)).flatMap(run_slice).collect()
-    bc.unpersist()
+        local = sc.parallelize(ranges, len(ranges)).flatMap(run_slice).collect()
+        bc.unpersist()
     # global top-k with the heap's tie rule: score DESC, docid ASC
     local.sort(key=lambda t: (-t[0], t[1]))
     top = local[:k]
     if not top:
         return empty
+    if round_decimals is not None:
+        top = [(round(s, round_decimals), d) for s, d in top]
+        top.sort(key=lambda t: (-t[0], t[1]))
+    pid_map = getattr(index, "pid_map", None)
+    if pid_map is not None:
+        # zero-job pid resolution from the warmed doc map
+        rows = [(int(d), pid_map[int(d)], float(s)) for s, d in top]
+        return spark.createDataFrame(rows, "docid long, pid string, score double")
     out = spark.createDataFrame(
         [(int(d), float(s)) for s, d in top], "docid long, score double"
     )
-    if round_decimals is not None:
-        out = out.withColumn("score", F.round("score", round_decimals))
     return (
         F.broadcast(out)
         .join(index.doc_stats.select("docid", "pid"), "docid")
         .select("docid", "pid", "score")
-        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .coalesce(1)
+        .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
     )

@@ -81,14 +81,19 @@ def top_k(
     if not terms:
         return empty
 
-    # lexicon point lookup: <= |q| rows collected (Vocabulary.getEntry;
-    # parquet min/max pruning plays the binary-search role)
-    lex_rows = (
-        index.lexicon.filter(F.col("term").isin(terms))
-        .select("term", "idf")
-        .collect()
-    )
-    idf_by_term = {r["term"]: r["idf"] for r in lex_rows}
+    # lexicon point lookup: <= |q| rows (Vocabulary.getEntry; parquet
+    # min/max pruning plays the binary-search role). A warmed index
+    # answers from the driver-side lexicon memo with zero Spark jobs.
+    lmap = getattr(index, "lexicon_map", None)
+    if lmap is not None:
+        idf_by_term = {t: lmap[t]["idf"] for t in terms if t in lmap}
+    else:
+        lex_rows = (
+            index.lexicon.filter(F.col("term").isin(terms))
+            .select("term", "idf")
+            .collect()
+        )
+        idf_by_term = {r["term"]: r["idf"] for r in lex_rows}
     missing = [t for t in terms if t not in idf_by_term]
     if conjunctive and missing:
         return empty  # conjunctive short-circuit (QueryProcesser.java:61-67)
@@ -130,10 +135,14 @@ def top_k(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
-    # pid lookup (J7): broadcast the k rows against doc_stats
+    # pid lookup (J7): broadcast the k rows against doc_stats. The
+    # final order is restored with coalesce(1)+local sort — k rows; a
+    # global orderBy here would cost a RangePartitioner sampling job +
+    # shuffle per query (~200ms measured) for nothing.
     return (
         F.broadcast(topk)
         .join(index.doc_stats.select("docid", "pid"), "docid")
         .select("docid", "pid", "score")
-        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .coalesce(1)
+        .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
     )
