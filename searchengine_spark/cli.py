@@ -31,25 +31,12 @@ def _spark(app: str):
 
 
 def cmd_build(args: argparse.Namespace) -> int:
-    from pyspark.sql import functions as F
-
     from .operators.indexer import IndexConfig, build_index
+    from .sources.corpus import read_corpus, to_engine_docs
     from .sources.sinks import append_build_stats
 
     spark = _spark("se-build")
-    docs = spark.read.parquet(args.input)
-    cols = set(docs.columns)
-    if {"repo", "path", "commit", "content"} <= cols:
-        from .operators.indexer import docs_from_code_table
-
-        docs = docs_from_code_table(docs)
-    elif {"doc_id", "text"} <= cols:
-        docs = docs.select(
-            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pid"),
-            F.col("text").alias("content"),
-        )
-    elif not {"pid", "content"} <= cols:
-        raise SystemExit(f"unsupported input schema: {sorted(cols)}")
+    docs = to_engine_docs(read_corpus(spark, args.input))
     t0 = time.time()
     idx = build_index(
         docs,

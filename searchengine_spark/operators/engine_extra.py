@@ -1,0 +1,158 @@
+"""Additional oracle-gated engine queries: compressed-block framing,
+block-skip (nextGEQ) pruning stats, and streaming compaction.
+
+These extend the driver gate beyond the core build/query surface:
+
+* ``packed_block_sizes`` — proves the gap-VB / unary codec FRAMING at
+  the SQL level: the byte length of each packed block is re-derived in
+  DuckDB from first principles (gap width classes for VB, tf bit-sum
+  for unary) and compared against the real packed binary columns.
+* ``block_skip_stats`` — the skip-pointer effectiveness measure behind
+  nextGEQ (PostingList.java:185-215): for a docid lower bound, how
+  many blocks per term survive the ``max_docid >= bound`` filter.
+* ``streaming_doc_stats`` — runs the REAL Structured Streaming ingest
+  (availableNow trigger) + compaction inside the gate and checks the
+  compacted doc stats against the same SQL oracle as the batch build —
+  streaming and batch must agree exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_ops import register
+
+SKIP_BOUND = 300  # docid lower bound for the block-skip stats
+
+
+def _frames(spark, sf_dir, with_blocks=False):
+    import __spark_entry__ as entry
+
+    return entry._frames(spark, sf_dir, with_blocks=with_blocks)
+
+
+def _q_packed_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .indexer import _PACK_SCHEMA, _pack_group
+
+    idx = _frames(spark, sf_dir)
+    packed = (
+        idx.postings.withColumn("block_id", F.lit(0).cast("long"))
+        .groupBy("term", "block_id")
+        .applyInPandas(_pack_group, schema=_PACK_SCHEMA)
+    )
+    return packed.select(
+        "term",
+        F.col("num_postings").cast("long").alias("num_postings"),
+        F.octet_length("docids_vb").cast("long").alias("n_vb_bytes"),
+        F.octet_length("tfs_unary").cast("long").alias("n_unary_bytes"),
+    )
+
+
+_PACKED_SIZES_SQL_TEMPLATE = """
+WITH {base},
+g AS (
+  SELECT term, docid, tf,
+         docid - coalesce(lag(docid) OVER (PARTITION BY term ORDER BY docid), 0)
+           AS gap
+  FROM p
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS num_postings,
+       CAST(sum(CASE WHEN gap < 128 THEN 1
+                     WHEN gap < 16384 THEN 2
+                     WHEN gap < 2097152 THEN 3
+                     ELSE 4 END) AS BIGINT) AS n_vb_bytes,
+       CAST((sum(tf) + 7) // 8 AS BIGINT) AS n_unary_bytes
+FROM g GROUP BY term
+"""
+
+
+def _q_block_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _frames(spark, sf_dir, with_blocks=True)
+    blocks = idx.blocks
+    return blocks.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("max_docid") >= SKIP_BOUND, 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocks_geq"),
+    )
+
+
+def _q_streaming_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest + compaction must reproduce the batch doc
+    stats exactly (same dense docids, lengths, lineage hashes)."""
+    import __spark_entry__ as entry
+
+    from ..streaming.incremental import compact, start_ingest
+
+    with tempfile.TemporaryDirectory(prefix="se_stream_") as tmp:
+        docs = entry._docs(spark, sf_dir)
+        docs.write.mode("overwrite").parquet(f"{tmp}/src")
+        q = start_ingest(spark, f"{tmp}/src", f"{tmp}/idx", stem_stop=False)
+        q.awaitTermination(300)
+        idx = compact(spark, f"{tmp}/idx")
+        # materialize before the tempdir vanishes
+        rows = idx.doc_stats.select(
+            "docid", "pid", "doc_len", "content_sha256"
+        ).collect()
+    return spark.createDataFrame(
+        rows, "docid long, pid string, doc_len long, content_sha256 string"
+    )
+
+
+def _register() -> None:
+    import __spark_entry__ as entry
+
+    base = entry._BASE_CTES
+    register(
+        "packed_block_sizes",
+        _q_packed_sizes,
+        _PACKED_SIZES_SQL_TEMPLATE.format(base=base),
+    )
+    register(
+        "block_skip_stats",
+        _q_block_skip,
+        f"""
+WITH {base},
+tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+law AS (
+  SELECT term, df,
+         CASE WHEN df >= 1024 THEN CAST(ceil(sqrt(CAST(df AS DOUBLE))) AS BIGINT)
+              ELSE 1 END AS num_blocks
+  FROM tdf
+),
+law2 AS (
+  SELECT term, num_blocks,
+         CAST(ceil(CAST(df AS DOUBLE) / num_blocks) AS BIGINT) AS max_per_block
+  FROM law
+),
+ranked AS (
+  SELECT p.term,
+         CAST(row_number() OVER (PARTITION BY p.term ORDER BY p.docid) - 1
+              AS BIGINT) AS rnk,
+         p.docid, l.max_per_block
+  FROM p JOIN law2 l USING (term)
+),
+blk AS (
+  SELECT term, CAST(rnk // max_per_block AS BIGINT) AS block_id,
+         max(docid) AS max_docid
+  FROM ranked GROUP BY 1, 2
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN max_docid >= {SKIP_BOUND} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocks_geq
+FROM blk GROUP BY term
+""",
+    )
+    register(
+        "streaming_doc_stats",
+        _q_streaming_doc_stats,
+        f"WITH {base} SELECT docid, pid, doc_len, content_sha256 FROM ds",
+    )
+
+
+_register()

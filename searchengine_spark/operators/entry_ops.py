@@ -40,4 +40,4 @@ def _load() -> None:
     if _LOADED:
         return
     _LOADED = True
-    from . import dedup, similarity, textstats, multimodal  # noqa: F401
+    from . import dedup, engine_extra, multimodal, similarity, textstats  # noqa: F401

@@ -119,3 +119,25 @@ def test_streaming_ingest_and_compact(spark, tmp_path):
     assert stats["p1"] == 4  # the batch-2 version won
     hits = [r["pid"] for r in top_k(idx, "spark", k=10).collect()]
     assert set(hits) == {"p1", "p3"}
+
+
+def test_corpus_adapter_table_and_schemas(spark):
+    from searchengine_spark.sources.corpus import read_corpus, to_engine_docs
+
+    code = spark.createDataFrame(
+        [("r1", "src/a.py", "c0ffee", "py", "import spark")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    code.createOrReplaceTempView("code_files")
+    df = to_engine_docs(read_corpus(spark, "code_files"))
+    row = df.collect()[0]
+    assert row["pid"] == "r1/src/a.py@c0ffee" and row["content"] == "import spark"
+
+    docs = spark.createDataFrame([(3, "hello")], "doc_id long, text string")
+    row = to_engine_docs(docs).collect()[0]
+    assert row["pid"] == "000000000003"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        to_engine_docs(spark.createDataFrame([(1,)], "x long"))
