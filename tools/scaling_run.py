@@ -38,7 +38,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "400"))
 PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "128"))
-CORES_PER_EXECUTOR = 4
+CORES_PER_EXECUTOR = int(os.environ.get("SCALING_EXEC_CORES", "4"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERY = "spark join fast"
 LEVELS = (1, 4)  # executors: N and 4N
