@@ -23,6 +23,13 @@ Scale notes (10^12 docs):
 
 The 60-bit hash is `portable_hash` (textstats.py) so every step has a
 bit-identical DuckDB oracle.
+
+Literature: MinHash resemblance sketching — Broder, "On the
+resemblance and containment of documents" (SEQUENCES 1997); LSH
+banding — Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+ch. 3; SimHash — Charikar, "Similarity estimation techniques from
+rounding algorithms" (STOC 2002) and Manku et al., "Detecting
+near-duplicates for web crawling" (WWW 2007).
 """
 
 from __future__ import annotations

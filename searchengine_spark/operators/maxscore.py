@@ -32,6 +32,12 @@ The per-slice algorithm mirrors MaxScore.java:
 * non-essential lists probed via nextGEQ only while
   partial + remaining-TUB can still beat the threshold  (:142-161)
 * threshold <- k-th best score once the heap is full    (:108-122)
+
+Literature: Turtle & Flood, "Query evaluation: strategies and
+optimizations" (IP&M 1995) — the original MaxScore; Broder et al.,
+"Efficient query evaluation using a two-level retrieval process"
+(CIKM 2003) — WAND; Ding & Suel, "Faster top-k document retrieval
+using block-max indexes" (SIGIR 2011) — block-max skipping.
 """
 
 from __future__ import annotations
