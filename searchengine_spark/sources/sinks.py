@@ -57,6 +57,51 @@ def write_debug_dumps(index, out_dir: str) -> None:
     )
 
 
+def trec_metrics(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """MAP and P@k per the trec_eval definitions used by the
+    reference's evaluation (documentation.pdf §4.2: map / P@10 over the
+    MS MARCO dev qrels).
+
+    ``results``: (qid, docid|pid, score) ranked run; ``qrels``:
+    (qid, pid, rel) with rel > 0 = relevant. Pure DataFrame math:
+    rank via window, precision@i for relevant hits, AP = mean over the
+    query's relevant set, MAP = mean over queries.
+    """
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("pid").asc())
+    ranked = results.withColumn("rank", F.row_number().over(w))
+    rel = qrels.filter(F.col("rel") > 0).select("qid", "pid")
+    n_rel = rel.groupBy("qid").agg(F.count("*").alias("n_rel"))
+    hits = ranked.join(rel, ["qid", "pid"])  # relevant retrieved
+    wcum = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prec_at_hit = hits.withColumn(
+        "prec", F.count("*").over(wcum) / F.col("rank")
+    )
+    ap = (
+        prec_at_hit.groupBy("qid")
+        .agg(F.sum("prec").alias("sum_prec"))
+        .join(n_rel, "qid")
+        .select("qid", (F.col("sum_prec") / F.col("n_rel")).alias("ap"))
+    )
+    p_at_k = (
+        ranked.filter(F.col("rank") <= k)
+        .join(rel.withColumn("hit", F.lit(1)), ["qid", "pid"], "left")
+        .groupBy("qid")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(k)).alias(f"p_at_{k}"))
+    )
+    return (
+        ap.join(p_at_k, "qid", "full")
+        .select(
+            "qid",
+            F.coalesce("ap", F.lit(0.0)).alias("ap"),
+            F.coalesce(f"p_at_{k}", F.lit(0.0)).alias(f"p_at_{k}"),
+        )
+    )
+
+
 def append_build_stats(index, args: str, total_sec: float, stats_path: str) -> None:
     """One TSV row: args, total seconds, per-stage seconds, collection
     stats (indexerStatistics.tsv equivalent)."""

@@ -141,3 +141,24 @@ def test_corpus_adapter_table_and_schemas(spark):
 
     with _pytest.raises(ValueError):
         to_engine_docs(spark.createDataFrame([(1,)], "x long"))
+
+
+def test_trec_metrics_hand_computed(spark):
+    from searchengine_spark.sources.sinks import trec_metrics
+
+    # q1: relevant docs {a, c}; run ranks a(1) b(2) c(3)
+    #   AP = (1/1 + 2/3)/2 = 0.8333...; P@2 = 1/2
+    results = spark.createDataFrame(
+        [("q1", "a", 3.0), ("q1", "b", 2.0), ("q1", "c", 1.0),
+         ("q2", "x", 1.0)],
+        "qid string, pid string, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "c", 1), ("q2", "zzz", 1)],
+        "qid string, pid string, rel int",
+    )
+    got = {r["qid"]: (r["ap"], r["p_at_2"]) for r in
+           trec_metrics(results, qrels, k=2).collect()}
+    assert got["q1"][0] == pytest.approx((1.0 + 2 / 3) / 2, abs=1e-12)
+    assert got["q1"][1] == pytest.approx(0.5, abs=1e-12)
+    assert got["q2"] == (0.0, 0.0)  # relevant doc never retrieved
