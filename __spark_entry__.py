@@ -359,7 +359,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    sql = {
+    sql = core_oracle_sql()
+    from searchengine_spark.operators.entry_ops import extra_oracle_sql
+
+    sql.update(extra_oracle_sql())
+    return sql
+
+
+def core_oracle_sql() -> dict[str, str]:
+    """Oracles for the core engine queries only (no pipeline extras) —
+    importable without triggering the operator-registry load."""
+    return {
         "doc_stats": f"WITH {_BASE_CTES} SELECT docid, pid, doc_len, content_sha256 FROM ds",
         "postings_tf": f"WITH {_BASE_CTES} SELECT term, docid, doc_len, tf FROM p",
         "lexicon_stats": f"""
@@ -420,7 +430,3 @@ FROM ranked GROUP BY term, CAST(rnk // max_per_block AS BIGINT)
         "topk_bm25_maxscore": _topk_sql(["merge", "sort", "batch"], "bm25", False, 10),
         "topk_bm25_packed": _topk_sql(["window", "agg", "batch"], "bm25", False, 10),
     }
-    from searchengine_spark.operators.entry_ops import extra_oracle_sql
-
-    sql.update(extra_oracle_sql())
-    return sql

@@ -103,6 +103,48 @@ def _q_streaming_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lexicon_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase lexicon aggregation (skew path) — must equal
+    the plain aggregation exactly, so it shares lexicon_stats' oracle."""
+    from .indexer import compute_lexicon_salted
+
+    idx = _frames(spark, sf_dir)
+    s = idx.stats
+    lex = compute_lexicon_salted(
+        idx.postings, s["n_docs"], s["avg_doc_len"], salt_buckets=16
+    )
+    return lex.select(
+        "term",
+        "df",
+        "max_tf",
+        F.col("bm25_tf").cast("int").alias("bm25_tf"),
+        F.col("bm25_dl").cast("long").alias("bm25_dl"),
+        F.round("idf", 9).alias("idf"),
+        F.round("tub_tfidf", 9).alias("tub_tfidf"),
+        F.round("tub_bm25", 9).alias("tub_bm25"),
+    )
+
+
+def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation composition: quality-filter then drop
+    near-duplicates (3-gram Jaccard >= 0.8, keep the lower doc_id) —
+    the canonical pretraining-pipeline pruning pass."""
+    from .dedup import ngram_jaccard_pairs
+    from .textstats import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = quality_features(docs).filter(F.col("quality_score") >= 0.75)
+    dup_losers = (
+        ngram_jaccard_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.select("doc_id", "quality_score")
+        .join(dup_losers, "doc_id", "left_anti")
+    )
+
+
 def _register() -> None:
     import __spark_entry__ as entry
 
@@ -152,6 +194,48 @@ FROM blk GROUP BY term
         "streaming_doc_stats",
         _q_streaming_doc_stats,
         f"WITH {base} SELECT docid, pid, doc_len, content_sha256 FROM ds",
+    )
+    register(
+        "lexicon_salted",
+        _q_lexicon_salted,
+        entry.core_oracle_sql()["lexicon_stats"],
+    )
+    from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD
+    from .textstats import QUALITY_MARKERS, _markers_sql
+
+    register(
+        "pipeline_curated_corpus",
+        _q_curated_corpus,
+        f"""
+WITH {_SHINGLES_CTE},
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM jac
+  WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains({_markers_sql(QUALITY_MARKERS)}, t)))
+              AS DOUBLE) AS sw,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(CAST(
+           (CASE WHEN n >= 10 AND n <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_chars / n >= 3.0 AND n_chars / n <= 10.0 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN sw / n >= 0.01 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN nd / n >= 0.1 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2)
+           AS quality_score
+  FROM f
+)
+SELECT doc_id, quality_score FROM q
+WHERE quality_score >= 0.75
+  AND doc_id NOT IN (SELECT doc_id FROM losers)
+""",
     )
 
 
