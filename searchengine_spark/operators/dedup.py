@@ -173,6 +173,7 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified with exact Jaccard.
 
@@ -211,7 +212,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, n, threshold, text_col)
+    exact = ngram_jaccard_pairs(df, n, threshold, text_col, max_shingle_df)
     return cands.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
     )
