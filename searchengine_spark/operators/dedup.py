@@ -212,9 +212,46 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, n, threshold, text_col, max_shingle_df)
-    return cands.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    # output-sensitive verification: exact Jaccard computed ONLY for
+    # candidate pairs (join the candidate list against each side's
+    # shingle set), not via the full quadratic inverted join — this is
+    # what makes LSH the scale path: cost O(|candidates| x shingles/doc).
+    # (On toy corpora the full inverted join is cheaper — fewer stages —
+    # but it is quadratic in posting sizes and impossible at 10^12 docs.)
+    sh = shingles(df, n, text_col)
+    if max_shingle_df is not None:
+        heavy = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(heavy.select("shingle")), "shingle", "left_anti")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("b_doc"), F.col("shingle").alias("b_shingle")
+    )
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("shingle") == F.col("b_shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                ROUND,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
