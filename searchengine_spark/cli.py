@@ -2,17 +2,23 @@
 (SURVEY.md §3): indexer Main, interactive cli Main, and the batch
 evaluation harness (QueryPerformancesMain).
 
-  python -m searchengine_spark.cli build --input DIR --index-dir DIR
-      [--no-stem-stop] [--no-compression] [--partitions N]
+  python -m searchengine_spark.cli build --input SRC --index-dir DIR
+      [--no-stem-stop] [--no-compression] [--no-maxscore] [--partitions N]
   python -m searchengine_spark.cli query --index-dir DIR "terms..."
       [-k 10] [--conjunctive] [--scoring bm25|tfidf] [--maxscore]
+  python -m searchengine_spark.cli repl --index-dir DIR   # warm session
   python -m searchengine_spark.cli eval --index-dir DIR --queries TSV
       --output DIR [-k 100] [--scoring bm25]
 
+``build --input`` accepts a parquet dir, a catalog (Iceberg) table
+name, a ``pid\\ttext`` TSV (MS MARCO collection.tsv, the reference's
+native format), or a ``.tar.gz`` containing it (Spimi.java:71-81).
 `eval` reads `qid\ttext` lines (QueryPerformancesMain.java:64-99) and
 writes a trec_eval run file. On a cluster, submit with
-``spark-submit --py-files searchengine_spark.zip`` (tools/package.py
-builds the zip); locally it runs on local[$SPARK_GRAFT_CPUS].
+``spark-submit --py-files searchengine_spark.zip path/to/launcher.py``
+where launcher.py calls ``searchengine_spark.cli.main()``
+(tools/package.py builds the zip and a launcher); locally it runs on
+local[$SPARK_GRAFT_CPUS].
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         IndexConfig(
             stem_stop=not args.no_stem_stop,
             compression=not args.no_compression,
+            max_score=not args.no_maxscore,
             num_partitions=args.partitions,
             overwrite=args.overwrite,
         ),
@@ -79,37 +86,101 @@ def cmd_query(args: argparse.Namespace) -> int:
 
 
 def cmd_eval(args: argparse.Namespace) -> int:
-    from pyspark.sql import functions as F
+    """Batch TREC evaluation (QueryPerformancesMain.java:100-136).
+
+    The run file is produced by ONE batched job (query.batch_top_k —
+    every query joined against the postings in the same shuffle); a
+    per-query loop would pay a ~0.5 s job-scheduling floor per query
+    (an hour of overhead on the 6,980-query MS MARCO dev set). The
+    reference's per-query latency report (mean ± stddev,
+    QueryPerformancesMain.java:130-136) is measured afterwards on the
+    warmed serving path over ``--latency-sample`` queries."""
+    import statistics
 
     from .operators.indexer import InvertedIndex
-    from .operators.query import top_k
+    from .operators.maxscore import maxscore_topk
+    from .operators.query import batch_top_k
     from .sources.sinks import write_trec
 
     spark = _spark("se-eval")
     idx = InvertedIndex.load(spark, args.index_dir).warm()
-    queries = []
+    queries: dict[str, str] = {}
     with open(args.queries) as f:
         for line in f:
             line = line.rstrip("\n")
             if line and "\t" in line:
                 qid, text = line.split("\t", 1)
-                queries.append((qid, text))
-    parts, times = [], []
-    for qid, text in queries:
-        t0 = time.time()
-        r = top_k(idx, text, k=args.k, scoring=args.scoring)
-        parts.append(r.select(F.lit(qid).alias("qid"), "docid", "pid", "score"))
-        times.append(time.time() - t0)
-    allq = parts[0]
-    for p in parts[1:]:
-        allq = allq.unionByName(p)
-    write_trec(allq, args.output, run_id=args.run_id)
-    import statistics
+                queries[qid] = text
+    t0 = time.time()
+    allq = batch_top_k(idx, queries, k=args.k, scoring=args.scoring)
+    write_trec(allq.select("qid", "docid", "pid", "score"),
+               args.output, run_id=args.run_id)
+    batch_sec = time.time() - t0
 
+    sample = list(queries.values())[: args.latency_sample]
+    times = []
+    for text in sample:
+        t1 = time.time()
+        maxscore_topk(idx, text, k=args.k, scoring=args.scoring).collect()
+        times.append((time.time() - t1) * 1000)
+    mean = statistics.mean(times) if times else float("nan")
+    std = statistics.stdev(times) if len(times) > 1 else 0.0
     print(
-        f"{len(queries)} queries; plan-build mean "
-        f"{statistics.mean(times)*1000:.1f} ms; run written to {args.output}"
+        f"{len(queries)} queries in {batch_sec:.1f}s "
+        f"({len(queries)/batch_sec:.1f} q/s batched); "
+        f"warm per-query latency over {len(sample)} samples: "
+        f"mean {mean:.1f} ms, stddev {std:.1f} ms; "
+        f"run written to {args.output}"
     )
+    return 0
+
+
+def cmd_repl(args: argparse.Namespace) -> int:
+    """Interactive query loop with a WARM session (cli Main.java:54-118):
+    one SparkSession, lexicon + pid maps memoized on the driver and a
+    posting-list LRU (CacheTests.java:36-131's warm posture), so repeat
+    terms answer with zero Spark jobs. Directives: ``:k N``,
+    ``:conj on|off``, ``:scoring bm25|tfidf``, ``:maxscore on|off``,
+    ``:quit``."""
+    from .operators.indexer import InvertedIndex
+    from .operators.maxscore import maxscore_topk
+    from .operators.query import top_k
+
+    spark = _spark("se-repl")
+    t0 = time.time()
+    idx = InvertedIndex.load(spark, args.index_dir).warm()
+    print(f"index warmed in {time.time()-t0:.1f}s: {idx.stats}", flush=True)
+    k, conjunctive, scoring, use_maxscore = args.k, False, args.scoring, True
+    stream = open(args.input) if args.input else sys.stdin
+    for line in stream:
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith(":"):
+            parts = line[1:].split()
+            if parts[0] in ("quit", "exit", "q"):
+                break
+            elif parts[0] == "k" and len(parts) > 1:
+                k = int(parts[1])
+            elif parts[0] == "conj" and len(parts) > 1:
+                conjunctive = parts[1] == "on"
+            elif parts[0] == "scoring" and len(parts) > 1:
+                scoring = parts[1]
+            elif parts[0] == "maxscore" and len(parts) > 1:
+                use_maxscore = parts[1] == "on"
+            else:
+                print(f"unknown directive: {line}")
+            continue
+        t1 = time.time()
+        fn = maxscore_topk if use_maxscore else top_k
+        rows = fn(idx, line, k=k, conjunctive=conjunctive,
+                  scoring=scoring).collect()
+        ms = (time.time() - t1) * 1000
+        for r in rows:
+            print(f"{r['pid']}\t{r['score']:.10f}")
+        print(f"({len(rows)} results in {ms:.1f} ms)", flush=True)
+    if args.input:
+        stream.close()
     return 0
 
 
@@ -118,10 +189,14 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the inverted index")
-    b.add_argument("--input", required=True, help="parquet dir of documents")
+    b.add_argument(
+        "--input", required=True,
+        help="parquet dir, catalog table, pid\\ttext TSV(.gz), or tar.gz",
+    )
     b.add_argument("--index-dir", required=True)
     b.add_argument("--no-stem-stop", action="store_true")
     b.add_argument("--no-compression", action="store_true")
+    b.add_argument("--no-maxscore", action="store_true")
     b.add_argument("--partitions", type=int, default=None)
     b.add_argument("--overwrite", action="store_true")
     b.set_defaults(fn=cmd_build)
@@ -142,7 +217,17 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("-k", type=int, default=100)
     e.add_argument("--scoring", choices=["bm25", "tfidf"], default="bm25")
     e.add_argument("--run-id", default="searchengine_spark")
+    e.add_argument("--latency-sample", type=int, default=50,
+                   help="queries timed individually on the warm path")
     e.set_defaults(fn=cmd_eval)
+
+    r = sub.add_parser("repl", help="interactive query loop (warm session)")
+    r.add_argument("--index-dir", required=True)
+    r.add_argument("-k", type=int, default=10)
+    r.add_argument("--scoring", choices=["bm25", "tfidf"], default="bm25")
+    r.add_argument("--input", default=None,
+                   help="read queries from a file instead of stdin")
+    r.set_defaults(fn=cmd_repl)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -48,6 +48,36 @@ SIMHASH_BANDS = 4  # pigeonhole-exact for Hamming distance <= 3
 SIMHASH_MAX_HAMMING = 3
 ROUND = 9
 
+# MinHash-LSH recall at the J=0.8 threshold, P(candidate) = 1-(1-J^r)^b
+# with r rows per band and b bands (Broder 1997; MMDS ch.3):
+#   k=16,  b=4  (r=4):  1-(1-0.41)^4  ~ 0.88   <- oracle configuration
+#   k=16,  b=8  (r=2):  1-(1-0.64)^8  ~ 0.9997 <- pipeline configuration
+#   k=128, b=32 (r=4):  1-(1-0.41)^32 ~ 0.9999995 <- production default
+# The oracle gate keeps k=16/b=4 (cheap, deterministic twin in SQL);
+# production dedup at 100 TB should run PRODUCTION_MINHASH_K/BANDS —
+# recall asserted on the planted >=0.8 pairs in tests/test_pipeline_ops.py.
+PRODUCTION_MINHASH_K = 128
+PRODUCTION_MINHASH_BANDS = 32
+
+# cached shingle frames registered here; call release_caches() after
+# materializing results in long-lived sessions (pipelines, REPLs) so
+# executor storage memory doesn't accumulate across dedup calls
+_CACHE_HANDLES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    while _CACHE_HANDLES:
+        try:
+            _CACHE_HANDLES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _cached(df: DataFrame) -> DataFrame:
+    out = df.cache()
+    _CACHE_HANDLES.append(out)
+    return out
+
 
 # ---------------------------------------------------------------------------
 # exact + token-multiset dedup
@@ -117,7 +147,7 @@ def ngram_jaccard_pairs(
             sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         )
         sh = sh.join(F.broadcast(heavy.select("shingle")), "shingle", "left_anti")
-    sh = sh.cache()
+    sh = _cached(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -222,7 +252,7 @@ def minhash_lsh_pairs(
     if max_shingle_df is not None:
         heavy = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(heavy.select("shingle")), "shingle", "left_anti")
-    sh = sh.cache()
+    sh = _cached(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(
@@ -312,7 +342,7 @@ def simhash_pairs(
     d+1 = 4 15-bit bands; any pair at distance <= d agrees exactly on
     some band, so an equi-join per band finds ALL such pairs without a
     cross join."""
-    sig = simhash(df, text_col).cache()
+    sig = _cached(simhash(df, text_col))
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sig.select(
         "doc_id",
@@ -411,18 +441,22 @@ register(
     f"WHERE jaccard >= {JACCARD_THRESHOLD}",
 )
 
-_MINHASH_CTES = f"""
+def minhash_ctes_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    """DuckDB CTEs reproducing ``minhash_signatures`` + banding at any
+    (k, bands); expects the ``sh`` shingle CTE in scope."""
+    rows_per_band = k // bands
+    return f"""
 hs AS (
   SELECT sh.doc_id, i.i AS hash_idx,
          min({portable_hash_sql("CAST(i.i AS VARCHAR) || ':' || sh.shingle")}) AS minhash
-  FROM sh, LATERAL (SELECT unnest(range(0, {MINHASH_K})) AS i) i
+  FROM sh, LATERAL (SELECT unnest(range(0, {k})) AS i) i
   GROUP BY sh.doc_id, i.i
 ),
 bandsig AS (
-  SELECT doc_id, hash_idx // {MINHASH_K // MINHASH_BANDS} AS band,
+  SELECT doc_id, hash_idx // {rows_per_band} AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx))
            AS band_key
-  FROM hs GROUP BY doc_id, hash_idx // {MINHASH_K // MINHASH_BANDS}
+  FROM hs GROUP BY doc_id, hash_idx // {rows_per_band}
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -431,6 +465,9 @@ cands AS (
                 AND a.doc_id < b.doc_id
 )
 """
+
+
+_MINHASH_CTES = minhash_ctes_sql()
 
 register(
     "dedup_minhash_lsh",

@@ -125,17 +125,58 @@ def _q_lexicon_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trec_run_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All TREC queries evaluated in ONE job (query.batch_top_k) —
+    hash-equal to the per-query ``trec_run`` gate/oracle. This is the
+    shape that makes QueryPerformancesMain.java:100-126 (6,980 queries,
+    k=100) tractable: one postings join, not one Spark job per query."""
+    import __spark_entry__ as entry
+
+    from .query import batch_top_k
+
+    idx = _frames(spark, sf_dir)
+    r = batch_top_k(
+        idx, entry.TREC_QUERIES, k=10, scoring="bm25",
+        round_decimals=entry.ROUND,
+    )
+    return r.select(
+        "qid",
+        F.lit("Q0").alias("q0"),
+        "pid",
+        "rank",
+        "score",
+        F.lit(entry.RUN_ID).alias("runid"),
+    )
+
+
+# pipeline LSH banding: k=16, 8 bands x 2 rows -> P(candidate at
+# J=0.8) = 1-(1-0.8^2)^8 ~ 0.9997 per pair; the oracle restricts to
+# the SAME candidates (bit-identical banding in SQL), so the gate is
+# deterministic regardless of recall
+PIPELINE_MINHASH_K = 16
+PIPELINE_MINHASH_BANDS = 8
+
+
 def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation composition: quality-filter then drop
     near-duplicates (3-gram Jaccard >= 0.8, keep the lower doc_id) —
-    the canonical pretraining-pipeline pruning pass."""
-    from .dedup import ngram_jaccard_pairs
+    the canonical pretraining-pipeline pruning pass.
+
+    Near-dup detection runs through MinHash-LSH banding (the 100 TB
+    shape: band-bucket equi-join + candidate-restricted verification),
+    NOT the quadratic shingle self-join — the oracle reproduces the
+    same banding in SQL, so both sides see identical candidates.
+    (Long-lived sessions call ``dedup.release_caches()`` after
+    materializing the result; the shingle cache registers there.)"""
+    from .dedup import minhash_lsh_pairs
     from .textstats import quality_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     quality = quality_features(docs).filter(F.col("quality_score") >= 0.75)
     dup_losers = (
-        ngram_jaccard_pairs(docs)
+        minhash_lsh_pairs(
+            docs, k=PIPELINE_MINHASH_K, bands=PIPELINE_MINHASH_BANDS
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -200,7 +241,8 @@ FROM blk GROUP BY term
         _q_lexicon_salted,
         entry.core_oracle_sql()["lexicon_stats"],
     )
-    from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD
+    register("trec_run_batched", _q_trec_run_batched, entry._trec_sql())
+    from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD, minhash_ctes_sql
     from .textstats import QUALITY_MARKERS, _markers_sql
 
     register(
@@ -208,9 +250,11 @@ FROM blk GROUP BY term
         _q_curated_corpus,
         f"""
 WITH {_SHINGLES_CTE},
+{minhash_ctes_sql(PIPELINE_MINHASH_K, PIPELINE_MINHASH_BANDS)},
 losers AS (
-  SELECT DISTINCT doc_b AS doc_id FROM jac
-  WHERE jaccard >= {JACCARD_THRESHOLD}
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}
 ),
 f AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,

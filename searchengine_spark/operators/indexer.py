@@ -69,6 +69,7 @@ BLOCK_DF_THRESHOLD = 1024  # VocabularyEntry.java:348-352
 class IndexConfig:
     stem_stop: bool = True       # reference flag -s
     compression: bool = True     # reference flag -c (packed postings)
+    max_score: bool = True       # reference flag -m (Flags.java:11-55)
     num_partitions: int | None = None
     overwrite: bool = False      # False => resume from completed stages
 
@@ -568,13 +569,20 @@ def build_index(
         shutil.rmtree(root)
     root.mkdir(parents=True, exist_ok=True)
     manifest_path = root / "manifest.json"
+    # all three reference flags persist with the index (Flags.java:11-55:
+    # compression, stemStopRemoval, maxScore) so query-time behavior
+    # always matches index-time
+    flags = {
+        "stem_stop": cfg.stem_stop,
+        "compression": cfg.compression,
+        "max_score": cfg.max_score,
+    }
     manifest: dict = (
         json.loads(manifest_path.read_text())
         if manifest_path.exists()
-        else {"flags": {"stem_stop": cfg.stem_stop, "compression": cfg.compression},
-              "stages": {}, "stats": {}}
+        else {"flags": flags, "stages": {}, "stats": {}}
     )
-    if manifest["flags"] != {"stem_stop": cfg.stem_stop, "compression": cfg.compression}:
+    if manifest["flags"] != flags:
         raise ValueError(
             "index flags mismatch on resume — query-time behavior must match "
             f"index-time (Flags.java:11-55): {manifest['flags']}"

@@ -72,11 +72,21 @@ def _maxscore_slice(
     hi: int,
     k: int,
     conjunctive: bool,
+    round_decimals: int | None = None,
 ) -> list[tuple[float, int]]:
     """MaxScore over docid range [lo, hi). ``lists`` ascending by tub.
 
     Returns up to k (score, docid) pairs. Cursor state is a per-list
     index; nextGEQ is a searchsorted jump on the (sorted) docid array.
+
+    ``round_decimals`` rounds each candidate's EXACT score before heap
+    insertion, so selection matches the round-before-limit semantics of
+    ``query.top_k`` and the SQL oracles (two docs whose unrounded
+    scores straddle the k boundary but round equal must tie-break on
+    docid). Pruning with unrounded bounds against the rounded threshold
+    stays safe: round() is monotone and the threshold is a fixed point
+    of round(), so exact <= threshold implies round(exact) <= threshold
+    — a pruned candidate can never strictly beat the rounded threshold.
     """
     n = len(lists)
     views = []
@@ -165,6 +175,8 @@ def _maxscore_slice(
             exact = 0.0
             for _, v in contribs:
                 exact += v
+            if round_decimals is not None:
+                exact = round(exact, round_decimals)
             push(exact, cand)
 
     return [(sc, -nd) for sc, nd in heap]
@@ -179,16 +191,33 @@ def maxscore_topk(
     num_slices: int | None = None,
     round_decimals: int | None = None,
     local_threshold: int = 2_000_000,
+    fetch_budget: int = 50_000_000,
 ) -> DataFrame:
     """Top-k via broadcast posting lists + partition-parallel MaxScore.
 
     Rank-identical to ``query.top_k`` (exact DAAT); asserted in
     tests/test_maxscore.py on randomized corpora, mirroring the
     reference's own DAAT==MaxScore golden tests.
+
+    Scale guard: the query terms' total posting count (Σ lexicon df) is
+    checked BEFORE any posting list leaves the executors. Above
+    ``fetch_budget`` postings — a query containing a boilerplate term
+    ("license", "import") at 10^12-doc scale — the driver never fetches
+    the lists and the query falls back to the fully-distributed
+    relational ``query.top_k``, which is rank-identical by construction.
+
+    If the index manifest persists ``max_score: false`` (the reference's
+    Flags.java:11-55 third flag), pruning is disabled the same way the
+    reference's query node honors the flag: delegate to exact DAAT.
     """
+    from .query import top_k
+
     spark = index.spark
     stats = index.stats
     stem_stop = index.manifest["flags"]["stem_stop"]
+    if not index.manifest["flags"].get("max_score", True):
+        return top_k(index, text, k=k, conjunctive=conjunctive,
+                     scoring=scoring, round_decimals=round_decimals)
     avgdl = stats["total_doc_len"] / stats["n_docs"]
     n_docs = stats["n_docs"]
 
@@ -197,7 +226,7 @@ def maxscore_topk(
     if not terms:
         return empty
 
-    lex_cols = ["term", "idf", "tub_tfidf", "tub_bm25_exact"]
+    lex_cols = ["term", "df", "idf", "tub_tfidf", "tub_bm25_exact"]
     lmap = getattr(index, "lexicon_map", None)
     if lmap is not None:
         by_term = {t: lmap[t] for t in terms if t in lmap}
@@ -213,6 +242,15 @@ def maxscore_topk(
     present = [t for t in terms if t in by_term]
     if not present:
         return empty
+
+    # df-guard BEFORE fetching: the lexicon already knows how many
+    # postings the fetch would move; consult it first (VocabularyEntry
+    # df — the reference's query node reads the same field before
+    # opening lists, Vocabulary.getEntry).
+    total_df = sum(int(by_term[t]["df"]) for t in present)
+    if total_df > fetch_budget:
+        return top_k(index, text, k=k, conjunctive=conjunctive,
+                     scoring=scoring, round_decimals=round_decimals)
 
     # gather + broadcast the query-term posting lists (SURVEY §3.2:
     # driver holds <= |q| lists, same as the reference's query node).
@@ -266,7 +304,9 @@ def maxscore_topk(
     if total_postings <= local_threshold and num_slices is None:
         # serving fast path: the lists are already on the driver (the
         # reference's single-node posture) — score here, no Spark jobs
-        local = _maxscore_slice(lists, 1, n_docs + 1, k, conjunctive)
+        local = _maxscore_slice(
+            lists, 1, n_docs + 1, k, conjunctive, round_decimals
+        )
     else:
         sc = spark.sparkContext
         bc = sc.broadcast(lists)
@@ -276,18 +316,18 @@ def maxscore_topk(
 
         def run_slice(rng):
             lo, hi = rng
-            return _maxscore_slice(bc.value, lo, hi, k, conjunctive)
+            return _maxscore_slice(
+                bc.value, lo, hi, k, conjunctive, round_decimals
+            )
 
         local = sc.parallelize(ranges, len(ranges)).flatMap(run_slice).collect()
         bc.unpersist()
     # global top-k with the heap's tie rule: score DESC, docid ASC
+    # (scores are already rounded pre-selection when round_decimals set)
     local.sort(key=lambda t: (-t[0], t[1]))
     top = local[:k]
     if not top:
         return empty
-    if round_decimals is not None:
-        top = [(round(s, round_decimals), d) for s, d in top]
-        top.sort(key=lambda t: (-t[0], t[1]))
     pid_map = getattr(index, "pid_map", None)
     if pid_map is not None:
         # zero-job pid resolution from the warmed doc map

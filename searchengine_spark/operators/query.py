@@ -56,6 +56,101 @@ def score_col(scoring: str, idf: Column, avg_doc_len: float) -> Column:
     return idf * ltf  # tfidf (Scorer.java:61-64); dispatch per Scorer.java:29-31
 
 
+def batch_top_k(
+    index: InvertedIndex,
+    queries: dict[str, str],
+    k: int = 10,
+    conjunctive: bool = False,
+    scoring: str = "bm25",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Evaluate MANY queries in ONE Spark job: the batch-evaluation
+    shape QueryPerformancesMain.java:100-126 needs (6,980 MS MARCO dev
+    queries, k=100). A per-query loop costs one job-scheduling floor
+    (~0.5 s) per query — an hour of pure overhead for the dev set; this
+    joins the postings against a (qid, term, tidx) frame ONCE, scores
+    every (query, doc) partial in the same shuffle, and ranks per qid
+    with a window.
+
+    Returns (qid, docid, pid, score, rank), rank 1..k per qid, ordered
+    within each query by score DESC, docid ASC — per-query results are
+    rank-identical to ``top_k`` on the same index (asserted in
+    tests/test_engine_e2e.py).
+
+    Scale shape: the query frame is |Q| x |q| rows — broadcast against
+    the postings scan, so the only shuffle keys are (qid, docid) for
+    the aggregation and qid for the ranking window. Per-query partials
+    fold in query-term order (tidx) for bit-exact DAAT parity.
+    """
+    spark = index.spark
+    stats = index.stats
+    stem_stop = index.manifest["flags"]["stem_stop"]
+    avgdl = stats["total_doc_len"] / stats["n_docs"]
+    empty = spark.createDataFrame(
+        [], "qid string, docid long, pid string, score double, rank long"
+    )
+
+    qrows = []
+    n_terms_total: dict[str, int] = {}
+    for qid, text in queries.items():
+        terms = query_terms(text, stem_stop)
+        n_terms_total[qid] = len(terms)
+        qrows.extend((qid, t, i) for i, t in enumerate(terms))
+    if not qrows:
+        return empty
+    qframe = spark.createDataFrame(qrows, "qid string, term string, tidx int")
+
+    # one broadcast lexicon lookup for ALL queries' distinct terms
+    qlex = (
+        F.broadcast(qframe)
+        .join(index.lexicon.select("term", "idf"), "term")
+        .select("qid", "term", "tidx", "idf")
+    )
+    scored = (
+        F.broadcast(qlex)
+        .join(index.postings, "term")
+        .select(
+            "qid",
+            "docid",
+            "tidx",
+            score_col(scoring, F.col("idf"), avgdl).alias("partial"),
+        )
+    )
+    agg = scored.groupBy("qid", "docid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tidx", "partial"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["partial"],
+        ).alias("score"),
+        F.count("*").alias("n_matched"),
+    )
+    if conjunctive:
+        # a query with an out-of-vocabulary term can never reach its
+        # full term count -> empty, the missing-term short-circuit
+        # (QueryProcesser.java:61-67) falls out of the predicate
+        n_map = F.create_map(
+            *[F.lit(x) for qid, n in n_terms_total.items() for x in (qid, n)]
+        )
+        agg = agg.filter(F.col("n_matched") == n_map[F.col("qid")])
+    if round_decimals is not None:
+        agg = agg.withColumn("score", F.round(F.col("score"), round_decimals))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    ranked = (
+        agg.select("qid", "docid", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        F.broadcast(ranked)
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .select("qid", "docid", "pid", "score", "rank")
+    )
+
+
 def top_k(
     index: InvertedIndex,
     text: str,

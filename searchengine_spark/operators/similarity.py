@@ -157,6 +157,40 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_lsh(
+    vectors: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate-restricted embedding near-dup: pairs searched ONLY
+    inside the sign-LSH bucket (equi-join on the bucket id), then the
+    exact cosine + threshold — the 10^9-vector shape of
+    ``cosine_neardup_pairs``. Bucket-join cost is Σ_bucket |bucket|²
+    instead of N²; more hyperplanes (or an IVF assignment in place of
+    ``lsh_bucket``) shrink the buckets further, the standard
+    recall-for-cost trade (near-dup vectors have highly correlated
+    signs, so recall at high thresholds stays near 1)."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket")
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "bucket",
+            F.round(cosine(F.col("ea"), F.col("eb")), ROUND).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -217,6 +251,22 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, bucket, neighbor_id, cosine FROM ranked WHERE rn = 1
+""",
+)
+
+register(
+    "embedding_neardup_lsh",
+    lambda spark, sf_dir: cosine_neardup_lsh(_emb(spark, sf_dir)),
+    f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb,
+         CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       round(list_cosine_similarity(a.emb, b.emb), {ROUND}) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), {ROUND}) >= {NEARDUP_COSINE}
 """,
 )
 

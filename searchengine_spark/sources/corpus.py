@@ -19,12 +19,77 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# the reference strips non-ASCII on read (Spimi.java:255:
+# ``split[1].replaceAll("[^\\x00-\\x7F]", "")``)
+_NON_ASCII = "[^\\x00-\\x7F]"
+
 
 def read_corpus(spark: SparkSession, source: str) -> DataFrame:
-    """``source`` = catalog table name (no slash) or parquet path."""
+    """``source`` = catalog table name (no slash), a ``pid\\ttext``
+    TSV(.gz) file — the reference's native MS MARCO collection format
+    (Spimi.java:251-255) — a ``.tar.gz``/``.tgz`` archive wrapping that
+    TSV (Spimi.java:71-81 compressed-read mode), or a parquet path."""
+    low = source.lower()
+    if low.endswith((".tar.gz", ".tgz")):
+        return read_targz_corpus(spark, source)
+    if low.endswith((".tsv", ".tsv.gz", ".txt", ".txt.gz")):
+        return read_tsv_corpus(spark, source)
     if "/" not in source:
         return spark.read.table(source)
     return spark.read.parquet(source)
+
+
+def _parse_tsv_lines(lines: DataFrame) -> DataFrame:
+    """``pid\\ttext`` line -> (pid, content), mirroring Spimi.java:
+    251-255: split on tab, field 0 = pid, field 1 = text (a second tab
+    truncates, exactly like Java's ``split[1]``), non-ASCII stripped.
+    Blank/tab-less lines are skipped."""
+    fields = F.split(F.col("value"), "\t")
+    return (
+        lines.filter(F.size(fields) >= 2)
+        .select(
+            F.element_at(fields, 1).alias("pid"),
+            F.regexp_replace(F.element_at(fields, 2), _NON_ASCII, "").alias(
+                "content"
+            ),
+        )
+        .filter(F.col("pid") != "")
+    )
+
+
+def read_tsv_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Uncompressed-read branch (Spimi.java:79). ``spark.read.text``
+    decompresses .gz transparently; a .gz file is non-splittable, so
+    the analysis chain downstream repartitions before the heavy work
+    (assign_dense_ids' range shuffle) — the single-stream read cost is
+    unavoidable for gzip, same as the reference's BufferedReader."""
+    return _parse_tsv_lines(spark.read.text(path))
+
+
+def read_targz_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Compressed-read branch (Spimi.java:71-77): a tar.gz whose first
+    entry is the collection TSV. tar+gzip is a single sequential
+    stream (not splittable by ANY engine — the reference also reads it
+    through one TarArchiveInputStream), so this is a binaryFiles +
+    per-partition tarfile decode; parallelism is recovered immediately
+    downstream by the dense-id range shuffle."""
+    import io
+    import tarfile
+
+    def entries(kv):
+        _, data = kv
+        with tarfile.open(fileobj=io.BytesIO(bytes(data)), mode="r:gz") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                fh = tf.extractfile(member)
+                if fh is None:
+                    continue
+                for raw in io.TextIOWrapper(fh, encoding="utf-8"):
+                    yield (raw.rstrip("\n").rstrip("\r"),)
+
+    rdd = spark.sparkContext.binaryFiles(path).flatMap(entries)
+    return _parse_tsv_lines(spark.createDataFrame(rdd, "value string"))
 
 
 def to_engine_docs(df: DataFrame) -> DataFrame:

@@ -65,7 +65,21 @@ def start_ingest(
 ):
     """Start the streaming ingest: parquet-dir source -> staged posting
     blocks. ``trigger_once`` processes the backlog and stops (the
-    testable mode); continuous triggers are a config away."""
+    testable mode); continuous triggers are a config away.
+
+    The ingest's ``stem_stop`` is persisted in ``stream_manifest.json``
+    so compaction serves queries with the SAME analysis chain the
+    postings were built with (Flags.java:11-55 contract — a mismatch
+    would stem the query against unstemmed postings)."""
+    import json
+    from pathlib import Path
+
+    idx_root = Path(index_dir)
+    idx_root.mkdir(parents=True, exist_ok=True)
+    (idx_root / "stream_manifest.json").write_text(
+        json.dumps({"flags": {"stem_stop": stem_stop, "compression": False,
+                              "max_score": True}})
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_postings(batch_df, stem_stop).withColumn(
@@ -90,10 +104,22 @@ def start_ingest(
 def compact(spark: SparkSession, index_dir: str):
     """Fold staged streaming blocks into a servable in-memory index:
     doc stats + postings + lexicon over everything ingested so far.
-    Dense docids are (re)assigned by pid order at compaction time."""
+    Dense docids are (re)assigned by pid order at compaction time.
+    Flags come from the ingest's ``stream_manifest.json`` (never
+    assumed), so query-time analysis matches ingest-time analysis."""
+    import json
+    from pathlib import Path
+
     from ..operators.frames import IndexFrames
     from ..operators.indexer import assign_dense_ids, compute_lexicon
 
+    mpath = Path(index_dir) / "stream_manifest.json"
+    manifest = (
+        json.loads(mpath.read_text())
+        if mpath.exists()
+        else {"flags": {"stem_stop": True, "compression": False,
+                        "max_score": True}}
+    )
     staged = spark.read.parquet(f"{index_dir}/stage_stream")
     # a pid re-ingested in a later batch supersedes earlier batches
     latest = staged.groupBy("pid").agg(F.max("batch_id").alias("batch_id"))
@@ -126,5 +152,5 @@ def compact(spark: SparkSession, index_dir: str):
             [], "term string, block_id long, max_docid long, num_postings long"
         ),
         stats,
-        {"flags": {"stem_stop": True, "compression": False}},
+        manifest,
     )

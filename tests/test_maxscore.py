@@ -96,6 +96,7 @@ def test_fixture_goldens_through_maxscore(spark):
             for d, tf in pl
         )
         lmap[t] = {
+            "df": len(pl),
             "idf": idf,
             "tub_tfidf": (1 + math.log10(max_tf)) * idf,
             "tub_bm25_exact": idf * max_g,
