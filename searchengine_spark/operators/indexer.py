@@ -526,21 +526,33 @@ def unpack_postings(packed: DataFrame) -> DataFrame:
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"term": [], "block_id": [], "docid": [], "tf": []}
-            for _, row in pdf.iterrows():
-                n = int(row["num_postings"])
-                docids = gaps_decode(vb_decode(bytes(row["docids_vb"]), n))
-                tfs = unary_decode(bytes(row["tfs_unary"]), n)
-                out["term"].extend([row["term"]] * n)
-                out["block_id"].extend([int(row["block_id"])] * n)
-                out["docid"].extend(docids.tolist())
-                out["tf"].extend(tfs.tolist())
+            # column-wise numpy iteration (one zip per block row, never
+            # pandas iterrows); per-block arrays concatenate once
+            ns = pdf["num_postings"].to_numpy(np.int64)
+            docid_parts = [
+                gaps_decode(vb_decode(bytes(vb), int(n)))
+                for vb, n in zip(pdf["docids_vb"].to_numpy(), ns)
+            ]
+            tf_parts = [
+                unary_decode(bytes(u), int(n))
+                for u, n in zip(pdf["tfs_unary"].to_numpy(), ns)
+            ]
             yield pd.DataFrame(
                 {
-                    "term": out["term"],
-                    "block_id": np.asarray(out["block_id"], dtype=np.int64),
-                    "docid": np.asarray(out["docid"], dtype=np.int64),
-                    "tf": np.asarray(out["tf"], dtype=np.int32),
+                    "term": np.repeat(pdf["term"].to_numpy(), ns),
+                    "block_id": np.repeat(
+                        pdf["block_id"].to_numpy(np.int64), ns
+                    ),
+                    "docid": (
+                        np.concatenate(docid_parts)
+                        if docid_parts
+                        else np.empty(0, np.int64)
+                    ).astype(np.int64),
+                    "tf": (
+                        np.concatenate(tf_parts)
+                        if tf_parts
+                        else np.empty(0, np.int32)
+                    ).astype(np.int32),
                 }
             )
 

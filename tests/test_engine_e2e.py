@@ -221,3 +221,6 @@ def test_flag_mismatch_on_resume_rejected(spark, tmp_path):
     build_index(docs, idx_dir, IndexConfig(stem_stop=True))
     with pytest.raises(ValueError, match="flags mismatch"):
         build_index(docs, idx_dir, IndexConfig(stem_stop=False))
+    # all three persisted flags participate (Flags.java:11-55)
+    with pytest.raises(ValueError, match="flags mismatch"):
+        build_index(docs, idx_dir, IndexConfig(stem_stop=True, max_score=False))

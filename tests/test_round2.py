@@ -1,0 +1,246 @@
+"""Round-2 hardening tests: MaxScore scale guard + round-before-cut,
+TSV/tar.gz source parity, batched evaluation, block-assignment path
+equivalence, MinHash recall, streaming flag propagation."""
+
+from __future__ import annotations
+
+import random
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.frames import build_index_frames
+from searchengine_spark.operators.maxscore import maxscore_topk
+from searchengine_spark.operators.query import batch_top_k, top_k
+from tests.corpus import make_corpus
+
+VOCAB = [
+    "merge", "sort", "batch", "spark", "join", "fast", "hash", "table",
+    "scan", "window", "agg", "stream", "slow", "query",
+]
+
+
+def _random_docs(spark, n_docs=120, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (f"{i:012d}", " ".join(rng.choices(VOCAB, k=rng.randint(3, 40))))
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "pid string, content string")
+
+
+@pytest.fixture(scope="module")
+def rand_index(spark):
+    return build_index_frames(_random_docs(spark), stem_stop=False)
+
+
+def _rows(df):
+    return [(r["docid"], r["pid"], r["score"]) for r in df.collect()]
+
+
+def test_fetch_budget_forces_relational_fallback(rand_index):
+    """A query whose terms' Σdf exceeds the budget must never gather
+    posting lists to the driver — it falls back to distributed top_k,
+    rank-identical (the VERDICT r1 driver-OOM guard)."""
+    q = "merge sort batch spark"  # fat terms: every doc draws from VOCAB
+    full = _rows(maxscore_topk(rand_index, q, k=10))
+    guarded = _rows(maxscore_topk(rand_index, q, k=10, fetch_budget=1))
+    exact = _rows(top_k(rand_index, q, k=10))
+    assert guarded == exact
+    assert full == exact
+    # LRU must stay empty on the fallback path (nothing was fetched)
+    idx2 = build_index_frames(
+        _random_docs(rand_index.spark, 40, seed=11), stem_stop=False
+    )
+    maxscore_topk(idx2, q, k=5, fetch_budget=1).collect()
+    assert not getattr(idx2, "_postings_lru", {})
+
+
+@pytest.mark.parametrize("decimals", [2, 3])
+def test_round_before_cut_matches_daat(rand_index, decimals):
+    """Coarse rounding manufactures k-boundary ties; selection must be
+    decided on ROUNDED scores (round-before-limit), matching top_k and
+    the SQL oracle semantics (ADVICE r1)."""
+    for q in ("spark join", "hash table scan", "merge sort batch spark"):
+        ms = _rows(maxscore_topk(rand_index, q, k=10, round_decimals=decimals))
+        daat = _rows(top_k(rand_index, q, k=10, round_decimals=decimals))
+        assert ms == daat, (q, decimals)
+
+
+def test_batch_top_k_equals_per_query(rand_index):
+    qs = {
+        "qa": "spark join fast",
+        "qb": "hash table scan",
+        "qc": "slow query nonexistentterm",
+    }
+    for conj in (False, True):
+        got: dict = {}
+        for r in batch_top_k(
+            rand_index, qs, k=7, conjunctive=conj, round_decimals=9
+        ).collect():
+            got.setdefault(r["qid"], []).append(
+                (r["rank"], r["docid"], r["pid"], r["score"])
+            )
+        for qid, text in qs.items():
+            want = [
+                (i + 1, r["docid"], r["pid"], r["score"])
+                for i, r in enumerate(
+                    top_k(
+                        rand_index, text, k=7, conjunctive=conj,
+                        round_decimals=9,
+                    ).collect()
+                )
+            ]
+            assert sorted(got.get(qid, [])) == want, (conj, qid)
+
+
+def test_tsv_and_targz_round_trip(spark, tmp_path):
+    """The reference's native pid\\ttext format (Spimi.java:251-255)
+    through build -> query: tab split, 2nd-tab truncation (Java
+    split[1]), non-ASCII strip, blank-line skip."""
+    from searchengine_spark.operators.indexer import IndexConfig, build_index
+    from searchengine_spark.sources.corpus import read_corpus, to_engine_docs
+
+    tsv = tmp_path / "collection.tsv"
+    tsv.write_text(
+        "1\thello spark world café\n"
+        "2\tspark join fast\tdropped-after-second-tab\n"
+        "\n"
+        "3\tmerge sort batch\n"
+    )
+    tgz = tmp_path / "collection.tar.gz"
+    with tarfile.open(tgz, "w:gz") as t:
+        t.add(tsv, arcname="collection.tsv")
+
+    expect = [
+        ("1", "hello spark world caf"),
+        ("2", "spark join fast"),
+        ("3", "merge sort batch"),
+    ]
+    for src in (str(tsv), str(tgz)):
+        docs = to_engine_docs(read_corpus(spark, src))
+        assert sorted(
+            (r["pid"], r["content"]) for r in docs.collect()
+        ) == expect, src
+
+    idx = build_index(
+        to_engine_docs(read_corpus(spark, str(tsv))),
+        str(tmp_path / "idx"),
+        IndexConfig(stem_stop=False, compression=False),
+    )
+    hits = top_k(idx, "spark fast", k=5).collect()
+    assert [r["pid"] for r in hits] == ["2", "1"]
+
+
+def test_blocks_frame_equals_rank_within_groups(spark):
+    """The collect_list block assignment (frames.blocks_frame) and the
+    two-pass ranked assignment (indexer._rank_within_groups + sqrt law)
+    must produce identical block metadata on a randomized corpus
+    (VERDICT r1 #10 behavioral pin)."""
+    from searchengine_spark.operators.frames import blocks_frame
+    from searchengine_spark.operators.indexer import (
+        BLOCK_DF_THRESHOLD,
+        _rank_within_groups,
+        _release_persisted,
+    )
+
+    idx = build_index_frames(_random_docs(spark, 200, seed=23), stem_stop=False)
+    postings = idx.postings.cache()
+    via_collect = {
+        (r["term"], r["block_id"], r["max_docid"], r["num_postings"])
+        for r in blocks_frame(postings).collect()
+    }
+
+    df_per_term = postings.groupBy("term").agg(F.count("*").alias("df"))
+    blk = df_per_term.select(
+        "term",
+        F.when(
+            F.col("df") >= BLOCK_DF_THRESHOLD, F.ceil(F.sqrt(F.col("df")))
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("num_blocks"),
+        F.ceil(
+            F.col("df")
+            / F.when(
+                F.col("df") >= BLOCK_DF_THRESHOLD,
+                F.ceil(F.sqrt(F.col("df"))),
+            ).otherwise(F.lit(1))
+        )
+        .cast("long")
+        .alias("max_per_block"),
+    )
+    ranked = _rank_within_groups(postings, "term", "docid", "posting_rank")
+    via_ranked = {
+        (r["term"], r["block_id"], r["max_docid"], r["num_postings"])
+        for r in (
+            ranked.join(blk.select("term", "max_per_block"), "term")
+            .withColumn(
+                "block_id",
+                (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
+            )
+            .groupBy("term", "block_id")
+            .agg(
+                F.max("docid").alias("max_docid"),
+                F.count("*").alias("num_postings"),
+            )
+            .collect()
+        )
+    }
+    _release_persisted()
+    postings.unpersist()
+    assert via_collect == via_ranked
+
+
+def test_minhash_recall_on_planted_pairs(spark):
+    """Recall of the banded candidate stage at the J>=0.8 threshold on
+    the sf0.01 planted near-dup pairs, at the oracle configuration
+    (k=16/b=4, expected ~0.88) and the production default (k=128/b=32,
+    expected 1.0) — the documented P(candidate)=1-(1-J^r)^b curve."""
+    from searchengine_spark.operators.dedup import (
+        PRODUCTION_MINHASH_BANDS,
+        PRODUCTION_MINHASH_K,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    planted = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert planted, "corpus should contain planted >=0.8 pairs"
+
+    def recall(k, bands):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, k=k, bands=bands).collect()
+        }
+        return len(got & planted) / len(planted)
+
+    assert recall(PRODUCTION_MINHASH_K, PRODUCTION_MINHASH_BANDS) == 1.0
+    assert recall(16, 4) >= 0.7
+    release_caches()
+
+
+def test_streaming_compact_honors_ingest_stem_stop(spark, tmp_path):
+    """compact() must serve queries with the ingest's analysis chain:
+    stem_stop=False postings queried with an unstemmed query term that
+    a Porter-stemmed chain would mangle ('merges' -> 'merg')."""
+    from searchengine_spark.streaming.incremental import compact, start_ingest
+
+    docs = spark.createDataFrame(
+        [("d1", "merges merges tables"), ("d2", "spark tables")],
+        "pid string, content string",
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    q = start_ingest(spark, src, str(tmp_path / "idx"), stem_stop=False)
+    q.awaitTermination(120)
+    idx = compact(spark, str(tmp_path / "idx"))
+    assert idx.manifest["flags"]["stem_stop"] is False
+    # 'merges' exists only unstemmed; a stem_stop=True query chain would
+    # look up 'merg' and find nothing
+    hits = top_k(idx, "merges", k=5).collect()
+    assert [r["pid"] for r in hits] == ["d1"]

@@ -1,9 +1,12 @@
-"""Build searchengine_spark.zip for spark-submit --py-files.
+"""Build searchengine_spark.zip + launcher.py for spark-submit.
+
+spark-submit has no ``-m`` module flag — it needs a script path — so
+this also writes a thin ``launcher.py`` next to the zip.
 
 Usage:
   python tools/package.py [out.zip]
-  spark-submit --py-files searchengine_spark.zip --master ... \
-      -m searchengine_spark.cli build --input ... --index-dir ...
+  spark-submit --master ... --py-files searchengine_spark.zip \
+      launcher.py build --input ... --index-dir ...
 """
 
 from __future__ import annotations
@@ -23,7 +26,14 @@ def main() -> None:
                 continue
             if p.is_file():
                 z.write(p, p.relative_to(root))
-    print(f"wrote {out} ({out.stat().st_size} bytes)")
+    launcher = out.parent / "launcher.py"
+    launcher.write_text(
+        "import sys\n"
+        "from searchengine_spark.cli import main\n\n"
+        "if __name__ == '__main__':\n"
+        "    raise SystemExit(main(sys.argv[1:]))\n"
+    )
+    print(f"wrote {out} ({out.stat().st_size} bytes) and {launcher}")
 
 
 if __name__ == "__main__":
