@@ -98,7 +98,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
     import statistics
 
     from .operators.indexer import InvertedIndex
-    from .operators.maxscore import maxscore_topk
+    from .operators.maxscore import maxscore_topk_rows
     from .operators.query import batch_top_k
     from .sources.sinks import write_trec
 
@@ -121,7 +121,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
     times = []
     for text in sample:
         t1 = time.time()
-        maxscore_topk(idx, text, k=args.k, scoring=args.scoring).collect()
+        maxscore_topk_rows(idx, text, k=args.k, scoring=args.scoring)
         times.append((time.time() - t1) * 1000)
     mean = statistics.mean(times) if times else float("nan")
     std = statistics.stdev(times) if len(times) > 1 else 0.0
@@ -143,7 +143,7 @@ def cmd_repl(args: argparse.Namespace) -> int:
     ``:conj on|off``, ``:scoring bm25|tfidf``, ``:maxscore on|off``,
     ``:quit``."""
     from .operators.indexer import InvertedIndex
-    from .operators.maxscore import maxscore_topk
+    from .operators.maxscore import maxscore_topk_rows
     from .operators.query import top_k
 
     spark = _spark("se-repl")
@@ -172,9 +172,20 @@ def cmd_repl(args: argparse.Namespace) -> int:
                 print(f"unknown directive: {line}")
             continue
         t1 = time.time()
-        fn = maxscore_topk if use_maxscore else top_k
-        rows = fn(idx, line, k=k, conjunctive=conjunctive,
-                  scoring=scoring).collect()
+        if use_maxscore:
+            # warm path: plain rows, zero Spark jobs on cached terms
+            rows = [
+                {"pid": p, "score": s}
+                for _, p, s in maxscore_topk_rows(
+                    idx, line, k=k, conjunctive=conjunctive, scoring=scoring
+                )
+            ]
+        else:
+            rows = [
+                {"pid": r["pid"], "score": r["score"]}
+                for r in top_k(idx, line, k=k, conjunctive=conjunctive,
+                               scoring=scoring).collect()
+            ]
         ms = (time.time() - t1) * 1000
         for r in rows:
             print(f"{r['pid']}\t{r['score']:.10f}")

@@ -668,29 +668,23 @@ def build_index(
         ).withColumn(
             "max_per_block", F.ceil(F.col("df") / F.col("num_blocks")).cast("long")
         )
+        # join the per-term block width BEFORE the rank pass (no
+        # broadcast hint: the term table is vocabulary-sized; AQE picks
+        # broadcast when it fits, shuffle join with skew splitting when
+        # it doesn't), so ONE range shuffle serves both the rank stamp
+        # and the final (term, docid)-sorted layout — the rank pass's
+        # output is already range-partitioned and sorted within
+        # partitions (mapInPandas preserves order), making a second
+        # repartitionByRange + sort of the full posting data redundant.
+        joined = staged.join(blk.select("term", "max_per_block"), "term")
         ranked = _rank_within_groups(
-            staged, "term", "docid", "posting_rank", num_partitions=n_part
+            joined, "term", "docid", "posting_rank", num_partitions=n_part
         )
-        # no broadcast hint: the term table is vocabulary-sized; AQE picks
-        # broadcast when it fits and shuffle join when it doesn't
-        merged = (
-            ranked.join(blk.select("term", "max_per_block"), "term")
-            .withColumn(
-                "block_id",
-                (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
-            )
-            .select("term", "docid", "tf", "doc_len", "block_id")
-        )
-        merged_part = (
-            merged.repartitionByRange(n_part, "term", "docid")
-            if n_part
-            else merged.repartitionByRange("term", "docid")
-        )
-        (
-            merged_part.sortWithinPartitions("term", "docid")
-            .write.mode("overwrite")
-            .parquet(str(postings_dir))
-        )
+        merged = ranked.withColumn(
+            "block_id",
+            (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
+        ).select("term", "docid", "tf", "doc_len", "block_id")
+        merged.write.mode("overwrite").parquet(str(postings_dir))
         blk.write.mode("overwrite").parquet(str(root / "term_df"))
         record("postings", t0)
 

@@ -182,49 +182,32 @@ def _maxscore_slice(
     return [(sc, -nd) for sc, nd in heap]
 
 
-def maxscore_topk(
+def _serve(
     index,
     text: str,
-    k: int = 10,
-    conjunctive: bool = False,
-    scoring: str = "bm25",
-    num_slices: int | None = None,
-    round_decimals: int | None = None,
-    local_threshold: int = 2_000_000,
-    fetch_budget: int = 50_000_000,
-) -> DataFrame:
-    """Top-k via broadcast posting lists + partition-parallel MaxScore.
-
-    Rank-identical to ``query.top_k`` (exact DAAT); asserted in
-    tests/test_maxscore.py on randomized corpora, mirroring the
-    reference's own DAAT==MaxScore golden tests.
-
-    Scale guard: the query terms' total posting count (Σ lexicon df) is
-    checked BEFORE any posting list leaves the executors. Above
-    ``fetch_budget`` postings — a query containing a boilerplate term
-    ("license", "import") at 10^12-doc scale — the driver never fetches
-    the lists and the query falls back to the fully-distributed
-    relational ``query.top_k``, which is rank-identical by construction.
-
-    If the index manifest persists ``max_score: false`` (the reference's
-    Flags.java:11-55 third flag), pruning is disabled the same way the
-    reference's query node honors the flag: delegate to exact DAAT.
-    """
-    from .query import top_k
-
+    k: int,
+    conjunctive: bool,
+    scoring: str,
+    num_slices: int | None,
+    round_decimals: int | None,
+    local_threshold: int,
+    fetch_budget: int,
+):
+    """Shared serving core. Returns ``("fallback", None)`` when the
+    relational path must run (flag off, or Σdf over the fetch budget),
+    else ``("rows", [(score, docid), ...])`` — the global top-k, sorted
+    score DESC / docid ASC (possibly empty)."""
     spark = index.spark
     stats = index.stats
     stem_stop = index.manifest["flags"]["stem_stop"]
     if not index.manifest["flags"].get("max_score", True):
-        return top_k(index, text, k=k, conjunctive=conjunctive,
-                     scoring=scoring, round_decimals=round_decimals)
+        return "fallback", None
     avgdl = stats["total_doc_len"] / stats["n_docs"]
     n_docs = stats["n_docs"]
 
     terms = query_terms(text, stem_stop)
-    empty = spark.createDataFrame([], "docid long, pid string, score double")
     if not terms:
-        return empty
+        return "rows", []
 
     lex_cols = ["term", "df", "idf", "tub_tfidf", "tub_bm25_exact"]
     lmap = getattr(index, "lexicon_map", None)
@@ -238,10 +221,10 @@ def maxscore_topk(
         by_term = {r["term"]: r for r in lex_rows}
     missing = [t for t in terms if t not in by_term]
     if conjunctive and missing:
-        return empty
+        return "rows", []
     present = [t for t in terms if t in by_term]
     if not present:
-        return empty
+        return "rows", []
 
     # df-guard BEFORE fetching: the lexicon already knows how many
     # postings the fetch would move; consult it first (VocabularyEntry
@@ -249,8 +232,7 @@ def maxscore_topk(
     # opening lists, Vocabulary.getEntry).
     total_df = sum(int(by_term[t]["df"]) for t in present)
     if total_df > fetch_budget:
-        return top_k(index, text, k=k, conjunctive=conjunctive,
-                     scoring=scoring, round_decimals=round_decimals)
+        return "fallback", None
 
     # gather + broadcast the query-term posting lists (SURVEY §3.2:
     # driver holds <= |q| lists, same as the reference's query node).
@@ -325,7 +307,95 @@ def maxscore_topk(
     # global top-k with the heap's tie rule: score DESC, docid ASC
     # (scores are already rounded pre-selection when round_decimals set)
     local.sort(key=lambda t: (-t[0], t[1]))
-    top = local[:k]
+    return "rows", local[:k]
+
+
+def maxscore_topk_rows(
+    index,
+    text: str,
+    k: int = 10,
+    conjunctive: bool = False,
+    scoring: str = "bm25",
+    num_slices: int | None = None,
+    round_decimals: int | None = None,
+    local_threshold: int = 2_000_000,
+    fetch_budget: int = 50_000_000,
+) -> list[tuple[int, str, float]]:
+    """Warm serving surface: top-k as plain (docid, pid, score) rows,
+    ZERO Spark jobs on a warmed index with cached posting lists — the
+    reference's interactive posture (cli Main.java answers from local
+    structures; no cluster round-trip belongs on a 10-row result).
+    Falls back to the distributed plan (and one collect) only when the
+    df-guard or the max_score flag demands it."""
+    kind, top = _serve(
+        index, text, k, conjunctive, scoring, num_slices, round_decimals,
+        local_threshold, fetch_budget,
+    )
+    if kind == "fallback":
+        from .query import top_k
+
+        df = top_k(index, text, k=k, conjunctive=conjunctive,
+                   scoring=scoring, round_decimals=round_decimals)
+        return [(r["docid"], r["pid"], r["score"]) for r in df.collect()]
+    pid_map = getattr(index, "pid_map", None)
+    if pid_map is not None:
+        return [(int(d), pid_map[int(d)], float(s)) for s, d in top]
+    if not top:
+        return []
+    out = index.spark.createDataFrame(
+        [(int(d), float(s)) for s, d in top], "docid long, score double"
+    )
+    resolved = {
+        r["docid"]: r["pid"]
+        for r in F.broadcast(out)
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .collect()
+    }
+    return [(int(d), resolved[int(d)], float(s)) for s, d in top]
+
+
+def maxscore_topk(
+    index,
+    text: str,
+    k: int = 10,
+    conjunctive: bool = False,
+    scoring: str = "bm25",
+    num_slices: int | None = None,
+    round_decimals: int | None = None,
+    local_threshold: int = 2_000_000,
+    fetch_budget: int = 50_000_000,
+) -> DataFrame:
+    """Top-k via broadcast posting lists + partition-parallel MaxScore.
+
+    Rank-identical to ``query.top_k`` (exact DAAT); asserted in
+    tests/test_maxscore.py on randomized corpora, mirroring the
+    reference's own DAAT==MaxScore golden tests.
+
+    Scale guard: the query terms' total posting count (Σ lexicon df) is
+    checked BEFORE any posting list leaves the executors. Above
+    ``fetch_budget`` postings — a query containing a boilerplate term
+    ("license", "import") at 10^12-doc scale — the driver never fetches
+    the lists and the query falls back to the fully-distributed
+    relational ``query.top_k``, which is rank-identical by construction.
+
+    If the index manifest persists ``max_score: false`` (the reference's
+    Flags.java:11-55 third flag), pruning is disabled the same way the
+    reference's query node honors the flag: delegate to exact DAAT.
+
+    ``maxscore_topk_rows`` is the same computation without the
+    DataFrame wrapper — the warm serving path.
+    """
+    spark = index.spark
+    kind, top = _serve(
+        index, text, k, conjunctive, scoring, num_slices, round_decimals,
+        local_threshold, fetch_budget,
+    )
+    if kind == "fallback":
+        from .query import top_k
+
+        return top_k(index, text, k=k, conjunctive=conjunctive,
+                     scoring=scoring, round_decimals=round_decimals)
+    empty = spark.createDataFrame([], "docid long, pid string, score double")
     if not top:
         return empty
     pid_map = getattr(index, "pid_map", None)

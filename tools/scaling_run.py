@@ -193,9 +193,12 @@ Per-stage seconds:
   doc-stats lineage, and per-stage metrics (docs ~300 chars vs MS MARCO
   ~335 — comparable corpus shape).
 * Reference warm query latency: 25-48 ms (single node, k=100). This
-  engine's exact-DAAT top-k: {r4n['query_p50_ms']} ms — dominated by
-  Spark job scheduling at local scale; rank identity (the rule's
-  correctness bar) is gate-checked each round in CORRECTNESS_r*.json.
+  engine's WARM serving path (`maxscore_topk_rows`, zero Spark jobs on
+  a warmed index) measures ~14 ms p50 in bench.py
+  (`query_warm_p50_ms`); the cold exact-DAAT top-k through full Spark
+  jobs: {r4n['query_p50_ms']} ms — job-scheduling floor at local
+  scale; rank identity (the rule's correctness bar) is gate-checked
+  each round in CORRECTNESS_r*.json.
 
 Generated by tools/scaling_run.py (REPLICATE={REPLICATE},
 PARTITIONS={PARTITIONS}, sf_dir={SF_DIR}).
@@ -215,10 +218,20 @@ with the snippets below):
 |---|---|---|---|
 | tokenize+analysis compute (JVM regex chain, no UDF) | 27.5 s | 8.3 s | **0.83** |
 | tokenize+analysis compute (with Porter pandas UDF) | 29.2 s | 10.8 s | 0.68 |
-| end-to-end build (all 5 stages, shuffles, sinks) | 285.9 s | 201.9 s | 0.35 |
+| end-to-end build r1 (two merge-stage range shuffles) | 285.9 s | 201.9 s | 0.35 |
+| end-to-end build r2 (fused single-shuffle merge stage) | 314.3 s | 136.7 s | **0.57** |
 
-The parallelizable compute scales at ~0.8+; the end-to-end number is
-capped by sandbox artifacts a real cluster does not share:
+Round 2 fused the merge stage: the per-term block-width join moved
+BEFORE the rank pass, so one range shuffle produces the ranked,
+block-assigned, (term, docid)-sorted postings directly — the second
+full-data repartitionByRange+sort was deleted (indexer.py stage 3).
+4N wall time dropped 202 s -> 137 s and efficiency 0.35 -> 0.57.
+
+The parallelizable compute scales at ~0.8+; the remaining end-to-end
+gap is capped by sandbox artifacts a real cluster does not share
+(stage_postings, the explode+agg+parquet stage, runs 40.6 s -> 36.6 s
+N -> 4N: it is memory-bandwidth/IO bound on the one shared VM even
+with shuffle and output on the RAM disk):
 
 1. **All executors share one VM's loopback + one memory system.** The
    SPIMI merge shuffle (~1.5 GB at this corpus) crosses executor JVMs
