@@ -120,8 +120,8 @@ class InvertedIndex:
 
     def warm(
         self,
-        max_lexicon_rows: int = 1_000_000,
-        max_doc_rows: int = 5_000_000,
+        max_lexicon_rows: int | None = None,
+        max_doc_rows: int | None = None,
     ) -> "InvertedIndex":
         """Serving-mode warm-up: cache the hot tables and, when small
         enough, pull the lexicon and the docid->pid map into driver
@@ -132,7 +132,20 @@ class InvertedIndex:
         Vocabulary.java:11-17).
 
         Beyond the thresholds (10^12-doc scale) queries fall back to
-        the filtered-read point lookup and the broadcast pid join."""
+        the filtered-read point lookup and the broadcast pid join.
+        Defaults come from SE_WARM_MAX_LEXICON_ROWS /
+        SE_WARM_MAX_DOC_ROWS (driver-heap-dependent deploy config),
+        else 1M lexicon / 5M doc rows."""
+        import os
+
+        if max_lexicon_rows is None:
+            max_lexicon_rows = int(
+                os.environ.get("SE_WARM_MAX_LEXICON_ROWS", 1_000_000)
+            )
+        if max_doc_rows is None:
+            max_doc_rows = int(
+                os.environ.get("SE_WARM_MAX_DOC_ROWS", 5_000_000)
+            )
         self.postings.cache().count()
         ds = self.doc_stats.cache()
         lex = self.lexicon.cache()

@@ -157,6 +157,86 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_cells(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest of
+    ``n_centroids`` centroids (cosine, ties to the lower centroid id).
+
+    Deterministic seeding — the centroids are the vectors with the
+    ``n_centroids`` smallest ids — so the assignment is reproducible
+    and exactly SQL-oracle-checkable; a production index would learn
+    the centroids (k-means over a sample, pyspark.ml KMeans) and reuse
+    THE SAME join shape: the centroid table stays tiny and broadcast,
+    the N-row assignment scan is embarrassingly parallel (no shuffle),
+    and only the per-cell search shuffles, keyed by cell id.
+    Cosines round to {ROUND} decimals before the argmax so the
+    assignment can't flip on cross-engine float summation order.
+    """
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+    )
+    c = v.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "emb",
+        "cent_id",
+        F.round(cosine(F.col("emb"), F.col("cemb")), ROUND).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+    )
+
+
+def ann_ivf_top1(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest neighbor (top-1 cosine) within each vector's IVF cell —
+    the inverted-file ANN search shape (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI 2011, coarse
+    level): candidate set = own cell only (n_probe=1); probing more
+    cells raises recall at proportional cost, same plan."""
+    cells = ivf_cells(vectors, n_centroids, id_col, vec_col)
+    a = cells.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"), "cell"
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            F.round(cosine(F.col("qemb"), F.col("nemb")), ROUND).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cell", "neighbor_id", "cosine")
+    )
+
+
 def cosine_neardup_lsh(
     vectors: DataFrame,
     threshold: float = NEARDUP_COSINE,
@@ -251,6 +331,38 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, bucket, neighbor_id, cosine FROM ranked WHERE rn = 1
+""",
+)
+
+register(
+    "ann_ivf_top1",
+    lambda spark, sf_dir: ann_ivf_top1(_emb(spark, sf_dir)),
+    f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < 16),
+ass AS (
+  SELECT v.vec_id, v.emb, c.cent_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_cosine_similarity(v.emb, c.cemb), {ROUND})
+             DESC, c.cent_id ASC) AS rn
+  FROM v CROSS JOIN c
+),
+cells AS (SELECT vec_id, emb, cent_id AS cell FROM ass WHERE rn = 1),
+scored AS (
+  SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.emb, b.emb), {ROUND}) AS cosine
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, cell, neighbor_id, cosine FROM ranked WHERE rn = 1
 """,
 )
 
