@@ -249,6 +249,31 @@ def _stage_done(path: Path) -> bool:
     return (path / "_SUCCESS").exists()
 
 
+def _read_stage(spark: SparkSession, path: Path, min_splits: int) -> DataFrame:
+    """Read a stage parquet with ``spark.sql.files.maxPartitionBytes``
+    tuned so the scan yields at least ``min_splits`` input partitions.
+
+    Needed because stage outputs (token arrays, postings over a small
+    vocabulary) dictionary-encode so well that a multi-million-doc
+    stage can fit inside one default 128 MB split — the downstream
+    explode + partial aggregation then runs on a handful of tasks no
+    matter how many cores exist (measured: the SPIMI stage was the one
+    non-scaling build stage, 41 s -> 37 s from 4 to 16 cores). Clamped
+    to [4 MB, 128 MB]: at real 100 TB scale the quotient exceeds
+    128 MB and this is exactly the stock setting; only small-to-mid
+    inputs get more splits. Local-size probing is best-effort (object
+    stores skip it and keep the session default)."""
+    try:
+        total = sum(
+            f.stat().st_size for f in Path(path).rglob("*.parquet")
+        )
+        mpb = min(max(total // max(min_splits, 1) + 1, 4 << 20), 128 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    except Exception:
+        pass
+    return spark.read.parquet(str(path))
+
+
 # persisted intermediates released at the end of build_index
 _PERSIST_HANDLES: list[DataFrame] = []
 
@@ -650,10 +675,15 @@ def build_index(
         record("doc_stats", t0, partitions=n_part)
 
     # ---- stage 2: SPIMI posting blocks (checkpoint granularity) ----------
+    min_splits = 2 * spark.sparkContext.defaultParallelism
+    # _read_stage tunes spark.sql.files.maxPartitionBytes per stage;
+    # restore the session's value when the build finishes so unrelated
+    # reads in the same session keep their configured split size
+    _mpb_before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     stage_dir = root / "stage_postings"
     if not _stage_done(stage_dir):
         t0 = time.time()
-        dt = spark.read.parquet(str(root / "doc_tokens"))
+        dt = _read_stage(spark, root / "doc_tokens", min_splits)
         postings = (
             dt.select("docid", "doc_len", F.explode("tokens").alias("term"))
             .filter(F.col("term") != "")  # blank tokens: no postings (Spimi.java:282-286)
@@ -667,7 +697,7 @@ def build_index(
     postings_dir = root / "postings"
     if not _stage_done(postings_dir):
         t0 = time.time()
-        staged = spark.read.parquet(str(stage_dir))
+        staged = _read_stage(spark, stage_dir, min_splits)
         # per-term df drives the sqrt block law (VocabularyEntry.java:348-361)
         df_per_term = staged.groupBy("term").agg(F.count("*").alias("df"))
         blk = df_per_term.select(
@@ -710,7 +740,7 @@ def build_index(
             doc_stats.agg(F.count("*"), F.sum("doc_len")).collect()[0]
         )
         avgdl = total_doc_len / n_docs
-        postings = spark.read.parquet(str(postings_dir))
+        postings = _read_stage(spark, postings_dir, min_splits)
         lex = compute_lexicon(postings, int(n_docs), avgdl)
         blk_meta = spark.read.parquet(str(root / "term_df")).select(
             "term", "num_blocks", "max_per_block"
@@ -739,7 +769,7 @@ def build_index(
     packed_dir = root / "postings_packed"
     if cfg.compression and not _stage_done(packed_dir):
         t0 = time.time()
-        postings = spark.read.parquet(str(postings_dir))
+        postings = _read_stage(spark, postings_dir, min_splits)
         packed = postings.groupBy("term", "block_id").applyInPandas(
             _pack_group, schema=_PACK_SCHEMA
         )
@@ -747,6 +777,10 @@ def build_index(
         record("postings_packed", t0)
 
     manifest_path.write_text(json.dumps(manifest, indent=2))
+    if _mpb_before is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _mpb_before)
+    else:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
     # every stage is materialized to parquet; cached intermediates can go
     _release_persisted()
     return InvertedIndex(spark, str(root), manifest)
