@@ -117,6 +117,30 @@ def cmd_eval(args: argparse.Namespace) -> int:
                args.output, run_id=args.run_id)
     batch_sec = time.time() - t0
 
+    if args.qrels:
+        # TREC qrels: `qid iter docno rel` (whitespace) or qid\tpid\trel
+        from .sources.sinks import trec_metrics
+
+        qrows = []
+        with open(args.qrels) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    qrows.append((parts[0], parts[-2], int(parts[-1])))
+        qrels = spark.createDataFrame(qrows, "qid string, pid string, rel int")
+        m = trec_metrics(
+            allq.select("qid", "pid", "score"), qrels, k=args.k
+        ).collect()
+        if m:
+            import statistics as st
+
+            aps = [r["ap"] for r in m]
+            ps = [r[f"p_at_{args.k}"] for r in m]
+            print(
+                f"MAP={st.mean(aps):.4f} mean P@{args.k}={st.mean(ps):.4f} "
+                f"over {len(m)} judged queries"
+            )
+
     sample = list(queries.values())[: args.latency_sample]
     times = []
     for text in sample:
@@ -230,6 +254,8 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--run-id", default="searchengine_spark")
     e.add_argument("--latency-sample", type=int, default=50,
                    help="queries timed individually on the warm path")
+    e.add_argument("--qrels", default=None,
+                   help="TREC qrels file -> report MAP and P@k")
     e.set_defaults(fn=cmd_eval)
 
     r = sub.add_parser("repl", help="interactive query loop (warm session)")

@@ -149,6 +149,23 @@ def _q_trec_run_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max MaxScore (Ding & Suel BMM): non-essential probe
+    bailout uses the candidate's CURRENT √df-block max score instead
+    of the global term bound — strictly tighter pruning, identical
+    ranks. Oracle = the exact disjunctive SQL, same as every pruning
+    gate (pruning is a performance device, not a semantics change)."""
+    import __spark_entry__ as entry
+
+    from .maxscore import maxscore_topk
+
+    idx = _frames(spark, sf_dir)
+    return maxscore_topk(
+        idx, "hash merge spark", k=10, conjunctive=False, scoring="bm25",
+        round_decimals=entry.ROUND, block_max=True,
+    )
+
+
 # pipeline LSH banding: k=16, 8 bands x 2 rows -> P(candidate at
 # J=0.8) = 1-(1-0.8^2)^8 ~ 0.9997 per pair; the oracle restricts to
 # the SAME candidates (bit-identical banding in SQL), so the gate is
@@ -242,6 +259,11 @@ FROM blk GROUP BY term
         entry.core_oracle_sql()["lexicon_stats"],
     )
     register("trec_run_batched", _q_trec_run_batched, entry._trec_sql())
+    register(
+        "topk_bm25_blockmax",
+        _q_topk_blockmax,
+        entry._topk_sql(["hash", "merge", "spark"], "bm25", False, 10),
+    )
     from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD, minhash_ctes_sql
     from .textstats import QUALITY_MARKERS, _markers_sql
 

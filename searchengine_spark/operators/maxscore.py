@@ -66,6 +66,27 @@ def _score_arrays(
     return idf * ltf
 
 
+def _block_bounds(
+    docids: np.ndarray, scores: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per-block (max_docid, max_score) under the reference's √df block
+    law (VocabularyEntry.java:348-361) — the block-max structure of
+    Ding & Suel (SIGIR 2011). ``searchsorted(max_docids, d)`` yields
+    the block that would hold docid d, so ``max_score[that block]`` is
+    a true upper bound on the term's contribution at d."""
+    from .indexer import BLOCK_DF_THRESHOLD
+
+    df = len(docids)
+    if df == 0:
+        return None
+    nb = int(np.ceil(np.sqrt(df))) if df >= BLOCK_DF_THRESHOLD else 1
+    per = -(-df // nb)
+    offsets = np.arange(0, df, per)
+    bmax_docid = docids[np.minimum(offsets + per - 1, df - 1)]
+    bmax_score = np.maximum.reduceat(scores, offsets)
+    return bmax_docid, bmax_score
+
+
 def _maxscore_slice(
     lists: list[dict],
     lo: int,
@@ -151,12 +172,33 @@ def _maxscore_slice(
                 pos[i] = p + 1
 
         # non-essential probes, highest tub first, with early bailout
-        # (MaxScore.java:142-161)
+        # (MaxScore.java:142-161). With block-max structures (Ding &
+        # Suel BMM), the bailout uses the CURRENT BLOCK's max score per
+        # shallow list — a bound <= the global TUB, so strictly more
+        # pruning with identical results.
         viable = True
+        use_bm = not conjunctive and first_essential > 0 and any(
+            lists[i].get("bm") is not None for i in range(first_essential)
+        )
+        if use_bm:
+            bm_vals = []
+            for i in range(first_essential):
+                bm = lists[i].get("bm")
+                if bm is None:
+                    bm_vals.append(float(tubs[i]))
+                else:
+                    bd, bs = bm
+                    j = int(np.searchsorted(bd, cand))
+                    bm_vals.append(float(bs[j]) if j < len(bd) else 0.0)
+            rem = 0.0
+            for v in bm_vals:
+                rem += v
         for i in range(first_essential - 1, -1, -1):
-            if not conjunctive and score + suffix_tub[i] <= threshold:
-                viable = False
-                break
+            if not conjunctive:
+                bound = score + (rem if use_bm else suffix_tub[i])
+                if bound <= threshold:
+                    viable = False
+                    break
             d, s = views[i]
             p = pos[i] + np.searchsorted(d[pos[i] :], cand)  # nextGEQ
             pos[i] = int(p)
@@ -167,6 +209,8 @@ def _maxscore_slice(
             elif conjunctive:
                 viable = False
                 break
+            if use_bm:
+                rem -= bm_vals[i]  # list i's potential is now realized
 
         if (conjunctive and viable and matched == len(lists)) or (
             not conjunctive and viable
@@ -192,6 +236,7 @@ def _serve(
     round_decimals: int | None,
     local_threshold: int,
     fetch_budget: int,
+    block_max: bool = False,
 ):
     """Shared serving core. Returns ``("fallback", None)`` when the
     relational path must run (flag off, or Σdf over the fetch budget),
@@ -277,6 +322,7 @@ def _serve(
                 "docids": docids,
                 "scores": scores,
                 "tub": tub,
+                "bm": _block_bounds(docids, scores) if block_max else None,
                 "qpos": len(lists),  # original query-term order
             }
         )
@@ -320,6 +366,7 @@ def maxscore_topk_rows(
     round_decimals: int | None = None,
     local_threshold: int = 2_000_000,
     fetch_budget: int = 50_000_000,
+    block_max: bool = False,
 ) -> list[tuple[int, str, float]]:
     """Warm serving surface: top-k as plain (docid, pid, score) rows,
     ZERO Spark jobs on a warmed index with cached posting lists — the
@@ -329,7 +376,7 @@ def maxscore_topk_rows(
     df-guard or the max_score flag demands it."""
     kind, top = _serve(
         index, text, k, conjunctive, scoring, num_slices, round_decimals,
-        local_threshold, fetch_budget,
+        local_threshold, fetch_budget, block_max,
     )
     if kind == "fallback":
         from .query import top_k
@@ -364,6 +411,7 @@ def maxscore_topk(
     round_decimals: int | None = None,
     local_threshold: int = 2_000_000,
     fetch_budget: int = 50_000_000,
+    block_max: bool = False,
 ) -> DataFrame:
     """Top-k via broadcast posting lists + partition-parallel MaxScore.
 
@@ -388,7 +436,7 @@ def maxscore_topk(
     spark = index.spark
     kind, top = _serve(
         index, text, k, conjunctive, scoring, num_slices, round_decimals,
-        local_threshold, fetch_budget,
+        local_threshold, fetch_budget, block_max,
     )
     if kind == "fallback":
         from .query import top_k

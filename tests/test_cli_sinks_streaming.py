@@ -68,6 +68,26 @@ def test_cli_eval_trec(built, tmp_path, capsys):
     ranks = sorted(int(ln.split(" ")[3]) for ln in lines if ln.startswith("q1 "))
     assert ranks == [1, 2, 3, 4, 5]
 
+    # qrels wiring: declare each query's own rank-1 pid relevant ->
+    # AP = P@1 = 1 for it, so MAP must print and be positive
+    top1 = {
+        ln.split(" ")[0]: ln.split(" ")[2]
+        for ln in lines
+        if ln.split(" ")[3] == "1"
+    }
+    qrels = tmp_path / "qrels.txt"
+    qrels.write_text(
+        "".join(f"{qid} 0 {pid} 1\n" for qid, pid in top1.items())
+    )
+    capsys.readouterr()
+    rc = cli.main(
+        ["eval", "--index-dir", str(built), "--queries", str(qfile),
+         "--output", str(tmp_path / "run2"), "-k", "5",
+         "--qrels", str(qrels)]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "MAP=1.0000" in out, out
+
 
 def test_debug_dumps(built, spark, tmp_path):
     from searchengine_spark.operators.indexer import InvertedIndex

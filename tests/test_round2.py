@@ -68,6 +68,55 @@ def test_round_before_cut_matches_daat(rand_index, decimals):
         assert ms == daat, (q, decimals)
 
 
+def test_blockmax_identical_to_daat(rand_index):
+    """Block-max pruning (BMM) must be rank-identical to exact DAAT on
+    randomized corpora — the bounds are provable, so any divergence is
+    a bug, not a trade."""
+    queries = (
+        "spark join",
+        "hash table scan",
+        "merge sort batch spark",
+        "slow query window agg stream",
+    )
+    for q in queries:
+        for k in (3, 10):
+            bm = _rows(
+                maxscore_topk(rand_index, q, k=k, round_decimals=9,
+                              block_max=True)
+            )
+            daat = _rows(top_k(rand_index, q, k=k, round_decimals=9))
+            assert bm == daat, (q, k)
+    # df >= 1024 (BLOCK_DF_THRESHOLD) so lists split into real √df
+    # blocks and the per-block bailout actually differs from the TUB
+    big = build_index_frames(
+        _random_docs(rand_index.spark, 1500, seed=31), stem_stop=False
+    )
+    assert big.lexicon.filter("df >= 1024").count() > 0
+    for q in queries:
+        bm = _rows(maxscore_topk(big, q, k=10, round_decimals=9,
+                                 block_max=True))
+        daat = _rows(top_k(big, q, k=10, round_decimals=9))
+        assert bm == daat, q
+
+
+def test_block_bounds_are_true_bounds():
+    """Every posting's score must be <= its block's recorded max under
+    the searchsorted block lookup."""
+    import numpy as np
+
+    from searchengine_spark.operators.maxscore import _block_bounds
+
+    rng = random.Random(5)
+    docids = np.array(sorted(rng.sample(range(1, 100000), 4000)), dtype=np.int64)
+    scores = np.array([rng.random() for _ in docids])
+    bd, bs = _block_bounds(docids, scores)
+    for d, s in zip(docids[::37], scores[::37]):
+        j = int(np.searchsorted(bd, d))
+        assert j < len(bd) and s <= bs[j]
+    # a docid past the last block has zero potential
+    assert int(np.searchsorted(bd, int(docids[-1]) + 1)) == len(bd)
+
+
 def test_batch_top_k_equals_per_query(rand_index):
     qs = {
         "qa": "spark join fast",
