@@ -103,6 +103,26 @@ def _q_streaming_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming watermarked window aggregation over
+    the events table (availableNow backlog); must equal the batch/SQL
+    aggregation exactly."""
+    import shutil
+
+    from ..streaming.incremental import windowed_event_stats
+
+    # the file stream source needs a directory; stage the table into one
+    with tempfile.TemporaryDirectory(prefix="se_events_") as tmp:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+        df = windowed_event_stats(spark, tmp)
+        rows = df.collect()  # materialize from the memory sink
+    return spark.createDataFrame(
+        rows,
+        "window_start timestamp, event_type string, "
+        "n_events long, sum_value double",
+    )
+
+
 def _q_lexicon_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase lexicon aggregation (skew path) — must equal
     the plain aggregation exactly, so it shares lexicon_stats' oracle."""
@@ -252,6 +272,17 @@ FROM blk GROUP BY term
         "streaming_doc_stats",
         _q_streaming_doc_stats,
         f"WITH {base} SELECT docid, pid, doc_len, content_sha256 FROM ds",
+    )
+    register(
+        "streaming_windowed_events",
+        _q_streaming_windowed_events,
+        """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
     )
     register(
         "lexicon_salted",

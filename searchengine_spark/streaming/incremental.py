@@ -101,6 +101,59 @@ def start_ingest(
     return writer.start()
 
 
+_WINDOW_SINK_SEQ = [0]
+
+
+def windowed_event_stats(
+    spark: SparkSession,
+    source: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    the standard Structured Streaming analytics shape (readStream ->
+    withWatermark -> window groupBy -> sink). The watermark bounds the
+    aggregation state the way a production stream needs (late events
+    beyond the delay are dropped and their window's state evicted);
+    with an ``availableNow`` backlog run + complete-mode memory sink
+    the result equals the batch aggregation exactly, which is how the
+    gate pins it to a SQL oracle.
+
+    Returns (window_start, event_type, n_events, sum_value)."""
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(source)
+    agg = (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _WINDOW_SINK_SEQ[0] += 1
+    name = f"se_windowed_events_{_WINDOW_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
 def compact(spark: SparkSession, index_dir: str):
     """Fold staged streaming blocks into a servable in-memory index:
     doc stats + postings + lexicon over everything ingested so far.

@@ -273,6 +273,89 @@ def test_minhash_recall_on_planted_pairs(spark):
     release_caches()
 
 
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a 1-hour watermark across
+    two micro-batches: a late event arriving after its window passed
+    the watermark must be DROPPED (state already finalized/evicted) —
+    the bounded-state guarantee a production stream needs."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def write_events(path, hours, start_id=0):
+        ts = [base + dt.timedelta(hours=h, minutes=10) for h in hours]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        range(start_id, start_id + len(hours)), pa.int64()
+                    ),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(hours), pa.int64()),
+                    "event_type": pa.array(["click"] * len(hours)),
+                    "value": pa.array([1.0] * len(hours)),
+                    "props": pa.array(["{}"] * len(hours)),
+                }
+            ),
+            str(path),
+        )
+
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: hours 0..5 -> watermark 5:10 - 1h = 4:10 persisted in the
+    # checkpoint; no window can be emitted yet within this run's batch
+    write_events(src / "b1.parquet", [0, 0, 1, 2, 3, 4, 5])
+    run_once()
+    _time.sleep(0.05)
+    # run 2 (same checkpoint): one LATE hour-0 event — its window end
+    # (1:00) is far below the restored 4:10 watermark, so the row is
+    # dropped and the already-finalized window emits WITHOUT it
+    write_events(src / "b2.parquet", [0, 6, 7], start_id=100)
+    os.utime(src / "b2.parquet", (_time.time() + 10, _time.time() + 10))
+    run_once()
+
+    got = {
+        (r["ws"] - base).total_seconds() / 3600: r["n"]
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    # windows 0-3 finalized under the restored watermark; the late
+    # hour-0 arrival was dropped (count 2, not 3); hours 6-7 can never
+    # have finalized (watermark ends at 6:10 < window-6 end 7:00)
+    assert got.get(0.0) == 2, got
+    assert {k: got[k] for k in (1.0, 2.0, 3.0)} == {1.0: 1, 2.0: 1, 3.0: 1}, got
+    assert 6.0 not in got and 7.0 not in got, got
+
+
 def test_streaming_compact_honors_ingest_stem_stop(spark, tmp_path):
     """compact() must serve queries with the ingest's analysis chain:
     stem_stop=False postings queried with an unstemmed query term that
