@@ -40,4 +40,11 @@ def _load() -> None:
     if _LOADED:
         return
     _LOADED = True
-    from . import dedup, engine_extra, multimodal, similarity, textstats  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        engine_extra,
+        multimodal,
+        sessions,
+        similarity,
+        textstats,
+    )

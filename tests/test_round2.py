@@ -356,6 +356,124 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     assert 6.0 not in got and 7.0 not in got, got
 
 
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over an availableNow
+    backlog must equal the batch window/cumsum operator exactly
+    (closed sessions emitted once, the open session in its final
+    state)."""
+    import shutil
+
+    from searchengine_spark.operators.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(f"{sf}/events.parquet", src / "events.parquet")
+
+    batch = {
+        (r["user_id"], r["session_id"], r["session_start"],
+         r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize(spark.read.parquet(str(src))).collect()
+    }
+    stream = {
+        (r["user_id"], r["session_id"], r["session_start"],
+         r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize_stream(spark, str(src)).collect()
+    }
+    assert stream == batch and len(batch) > 50
+
+
+def test_sessionize_stream_state_across_batches(spark, tmp_path):
+    """State must carry the OPEN session across micro-batches: events
+    continuing a session in a later availableNow run extend it (same
+    session_id) rather than starting a new one."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.operators.sessions import sessionize_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def write(path, minute_offsets, start_id):
+        ts = [base + dt.timedelta(minutes=m) for m in minute_offsets]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        range(start_id, start_id + len(ts)), pa.int64()
+                    ),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([7] * len(ts), pa.int64()),
+                    "event_type": pa.array(["click"] * len(ts)),
+                    "value": pa.array([1.0] * len(ts)),
+                    "props": pa.array(["{}"] * len(ts)),
+                }
+            ),
+            str(path),
+        )
+
+    # batch 1: two events 10 min apart -> one open session
+    write(src / "b1.parquet", [0, 10], 0)
+    df1 = sessionize_stream(spark, str(src))
+    s1 = {(r["session_id"], r["n_events"]) for r in df1.collect()}
+    assert s1 == {(1, 2)}, s1
+    # NOTE: sessionize_stream names its memory sink by source path, so a
+    # second run over the same dir resumes nothing (fresh query, fresh
+    # state). Simulate the continuation by starting from scratch with
+    # both files present but maxFilesPerTrigger=1 — Structured Streaming
+    # then delivers two micro-batches through the SAME query/state.
+    import time as _time
+
+    write(src / "b2.parquet", [20, 80], 100)  # 20' continues; 80' new
+    import os
+
+    os.utime(src / "b2.parquet", (_time.time() + 10, _time.time() + 10))
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from searchengine_spark.operators.sessions import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _session_func,
+    )
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_func(30),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_2batch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("sess_2batch").collect()
+    # keep the LAST emission per (user, session) — the update contract
+    last: dict = {}
+    for r in rows:
+        last[(r["user_id"], r["session_id"])] = (
+            r["n_events"], r["sum_value"]
+        )
+    # session 1 = events at 0,10,20 min (state extended across batches);
+    # session 2 = the event at 80 min
+    assert last == {(7, 1): (3, 3.0), (7, 2): (1, 1.0)}, (rows, last)
+
+
 def test_streaming_compact_honors_ingest_stem_stop(spark, tmp_path):
     """compact() must serve queries with the ingest's analysis chain:
     stem_stop=False postings queried with an unstemmed query term that
