@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 from ..functions.analysis import process_text
 from .indexer import B, K1, InvertedIndex
 
+# batch_top_k pushes an In(term) filter to the postings scan up to this
+# many distinct terms; beyond it the broadcast join alone filters (an
+# In with 100k literals costs more in planning than it saves at scan)
+BATCH_PUSHDOWN_TERM_LIMIT = 10_000
+
 
 def query_terms(text: str, stem_stop: bool) -> list[str]:
     """Analysis chain + order-preserving dedup (QueryProcesser.java:53-56)."""
@@ -106,9 +111,18 @@ def batch_top_k(
         .join(index.lexicon.select("term", "idf"), "term")
         .select("qid", "term", "tidx", "idf")
     )
+    # parquet predicate pushdown for the postings scan: an In() filter
+    # on the distinct query terms reaches the row-group/dictionary
+    # level when the term set is modest; past the literal budget the
+    # broadcast join alone does the filtering (the scan is then a full
+    # pass — correct, just not skippable)
+    distinct_terms = sorted({t for _, t, _ in qrows})
+    postings = index.postings
+    if len(distinct_terms) <= BATCH_PUSHDOWN_TERM_LIMIT:
+        postings = postings.filter(F.col("term").isin(distinct_terms))
     scored = (
         F.broadcast(qlex)
-        .join(index.postings, "term")
+        .join(postings, "term")
         .select(
             "qid",
             "docid",

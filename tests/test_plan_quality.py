@@ -86,3 +86,21 @@ def test_pid_lookup_is_broadcast_join(disk_index):
     plan = _formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_batch_top_k_plan(disk_index):
+    """Batched evaluation: the query frame must reach the postings via
+    BROADCAST joins (never a shuffle of the big side keyed on term
+    alone), the distinct-term In() filter must push to the postings
+    scan, and no cartesian product may appear."""
+    from searchengine_spark.operators.query import batch_top_k
+
+    df = batch_top_k(
+        disk_index,
+        {"q1": "spark join fast", "q2": "hash table scan"},
+        k=5,
+    )
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "In(term" in plan, plan[:3000]
