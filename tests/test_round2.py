@@ -93,10 +93,12 @@ def test_blockmax_identical_to_daat(rand_index):
     )
     assert big.lexicon.filter("df >= 1024").count() > 0
     for q in queries:
-        bm = _rows(maxscore_topk(big, q, k=10, round_decimals=9,
-                                 block_max=True))
-        daat = _rows(top_k(big, q, k=10, round_decimals=9))
-        assert bm == daat, q
+        for scoring in ("bm25", "tfidf"):
+            bm = _rows(maxscore_topk(big, q, k=10, round_decimals=9,
+                                     scoring=scoring, block_max=True))
+            daat = _rows(top_k(big, q, k=10, round_decimals=9,
+                               scoring=scoring))
+            assert bm == daat, (q, scoring)
 
 
 def test_block_bounds_are_true_bounds():
