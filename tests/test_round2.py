@@ -275,6 +275,46 @@ def test_minhash_recall_on_planted_pairs(spark):
     release_caches()
 
 
+def test_max_shingle_df_stop_shingle_guard(spark):
+    """The boilerplate-shingle guard (prefix-filtering analog) must
+    drop ultra-common shingles before the inverted self-join — the
+    skew-killer at scale — while still recalling true near-dups whose
+    similarity rests on their non-boilerplate content."""
+    from searchengine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_caches,
+        shingles,
+    )
+
+    boiler = "license header apache foundation all rights reserved"
+    rows = [
+        (i, f"{boiler} unique{i} filler{i} words{i} here{i}")
+        for i in range(30)
+    ]
+    dup = f"{boiler} exact same tail of twelve different tokens " \
+          "alpha beta gamma delta"
+    rows += [(100, dup), (101, dup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    heavy = (
+        shingles(df)
+        .groupBy("shingle")
+        .count()
+        .filter(F.col("count") > 5)
+        .count()
+    )
+    assert heavy > 0  # the boilerplate really is ultra-common
+
+    guarded = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, max_shingle_df=5).collect()
+    }
+    release_caches()
+    # identical docs survive the guard at jaccard 1.0 (their reduced
+    # shingle sets are still identical); no boilerplate-only pair does
+    assert guarded == {(100, 101, 1.0)}, guarded
+
+
 def test_streaming_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed aggregation with a 1-hour watermark across
     two micro-batches: a late event arriving after its window passed
