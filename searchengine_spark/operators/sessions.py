@@ -86,10 +86,10 @@ def _session_func(gap_minutes: int):
         key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
         user_id = int(key[0])
-        rows = pd.concat(list(pdfs))
-        if rows.empty:
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
             return
-        rows = rows.sort_values(["ts", "event_id"])
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
         # normalize to epoch MICROS regardless of the incoming pandas
         # resolution (Arrow hands over datetime64[ns])
         ts_us = (
@@ -172,6 +172,24 @@ def sessionize_stream(
     q.awaitTermination(timeout_sec)
     return spark.table(name)
 
+
+def _q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming sessionization (applyInPandasWithState) over
+    the events backlog. Registered WITHOUT a SQL oracle (the driver
+    records the weaker rows-only check): an iterative stateful stream
+    is not SQL-expressible, but its single-backlog output is pinned
+    equal to the batch operator in tests/test_round2.py."""
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="se_sess_") as tmp:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+        df = sessionize_stream(spark, tmp)
+        rows = df.collect()
+    return spark.createDataFrame(rows, _OUT_SCHEMA)
+
+
+register("event_sessionization_stream", _q_sessionization_stream, None)
 
 register(
     "event_sessionization",

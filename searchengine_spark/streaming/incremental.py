@@ -101,6 +101,41 @@ def start_ingest(
     return writer.start()
 
 
+def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
+    """Materialize the compacted streaming index as a SERVABLE disk
+    index (same layout as the batch build: doc_stats/, postings/,
+    lexicon/, manifest.json), so ``InvertedIndex.load(out_dir)`` works
+    on it — the streaming-ingest-to-serving handoff. Postings land
+    range-partitioned and sorted by (term, docid) like the batch merge
+    stage."""
+    import json
+    from pathlib import Path
+
+    from ..operators.indexer import InvertedIndex
+
+    frames = compact(spark, index_dir)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    frames.doc_stats.write.mode("overwrite").parquet(str(out / "doc_stats"))
+    (
+        frames.postings.repartitionByRange("term", "docid")
+        .sortWithinPartitions("term", "docid")
+        .write.mode("overwrite")
+        .parquet(str(out / "postings"))
+    )
+    frames.lexicon.write.mode("overwrite").parquet(str(out / "lexicon"))
+    n_terms = spark.read.parquet(str(out / "lexicon")).count()
+    stats = dict(frames.stats)
+    stats["n_terms"] = int(n_terms)
+    manifest = {
+        "flags": frames.manifest["flags"],
+        "stages": {"compacted_from": index_dir},
+        "stats": stats,
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return InvertedIndex(spark, str(out), manifest)
+
+
 _WINDOW_SINK_SEQ = [0]
 
 

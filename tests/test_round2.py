@@ -428,6 +428,35 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
     assert stream == batch and len(batch) > 50
 
 
+def test_compact_to_dir_servable(spark, tmp_path):
+    """Streaming ingest -> compact_to_dir must yield a disk index that
+    InvertedIndex.load serves with results identical to the in-memory
+    compacted frames."""
+    import __spark_entry__ as e
+    from searchengine_spark.operators.indexer import InvertedIndex
+    from searchengine_spark.streaming.incremental import (
+        compact,
+        compact_to_dir,
+        start_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    e._docs(spark, "/root/testdata/sf0.001").limit(80).write.parquet(src)
+    q = start_ingest(spark, src, str(tmp_path / "sidx"), stem_stop=False)
+    q.awaitTermination(120)
+    frames = compact(spark, str(tmp_path / "sidx"))
+    disk = compact_to_dir(spark, str(tmp_path / "sidx"), str(tmp_path / "out"))
+
+    loaded = InvertedIndex.load(spark, str(tmp_path / "out"))
+    assert loaded.manifest["flags"]["stem_stop"] is False
+    assert loaded.stats["n_docs"] == frames.stats["n_docs"]
+    for text in ("spark join", "merge sort batch"):
+        a = _rows(top_k(frames, text, k=5, round_decimals=9))
+        b = _rows(top_k(loaded, text, k=5, round_decimals=9))
+        c = _rows(top_k(disk, text, k=5, round_decimals=9))
+        assert a == b == c, text
+
+
 def test_sessionize_stream_state_across_batches(spark, tmp_path):
     """State must carry the OPEN session across micro-batches: events
     continuing a session in a later availableNow run extend it (same
