@@ -275,6 +275,59 @@ def test_minhash_recall_on_planted_pairs(spark):
     release_caches()
 
 
+def test_sessionize_property_vs_pure_python(spark):
+    """Randomized property check: the DataFrame sessionizer must match
+    a direct single-threaded reference implementation on arbitrary
+    event sets (gap boundaries, duplicate timestamps, interleaved
+    users)."""
+    import datetime as dt
+
+    from searchengine_spark.operators.sessions import GAP_MINUTES, sessionize
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(400):
+        user = rng.randint(1, 12)
+        minutes = rng.randint(0, 5000)
+        rows.append(
+            (eid, base + dt.timedelta(minutes=minutes), user, "e",
+             round(rng.random(), 2), "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    # pure-python reference
+    per_user: dict = {}
+    for eid, ts, user, _, val, _ in rows:
+        per_user.setdefault(user, []).append((ts, eid, val))
+    want = set()
+    gap = dt.timedelta(minutes=GAP_MINUTES)
+    for user, evs in per_user.items():
+        evs.sort()
+        sid, start, last, n, sv = 0, None, None, 0, 0.0
+        for ts, _, val in evs:
+            if last is None or ts - last > gap:
+                if last is not None:
+                    want.add((user, sid, start, last, n, round(sv, 6)))
+                sid += 1
+                start, n, sv = ts, 0, 0.0
+            last = ts
+            n += 1
+            sv += val
+        want.add((user, sid, start, last, n, round(sv, 6)))
+
+    got = {
+        (r["user_id"], r["session_id"], r["session_start"],
+         r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize(df).collect()
+    }
+    assert got == want, (len(got), len(want), sorted(got ^ want)[:4])
+
+
 def test_max_shingle_df_stop_shingle_guard(spark):
     """The boilerplate-shingle guard (prefix-filtering analog) must
     drop ultra-common shingles before the inverted self-join — the
