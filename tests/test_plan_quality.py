@@ -104,3 +104,57 @@ def test_batch_top_k_plan(disk_index):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "In(term" in plan, plan[:3000]
+
+
+def test_dedup_plans_have_no_cross_joins(spark):
+    """Every dedup pair operator must reach candidates through
+    equi-joins (bucket/band/shingle keys) — a CartesianProduct or
+    unkeyed BroadcastNestedLoopJoin in these plans is the O(N²)
+    scale-killer the LSH designs exist to avoid."""
+    from searchengine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        release_caches,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for name, df in (
+        ("minhash", minhash_lsh_pairs(docs)),
+        ("simhash", simhash_pairs(docs)),
+        ("jaccard", ngram_jaccard_pairs(docs)),
+    ):
+        plan = _formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    release_caches()
+
+
+def test_ann_plans_have_no_cartesian_product(spark):
+    """ANN operators: the bucketed/IVF paths join on equi-keys; the
+    brute-force paths broadcast the tiny side (a BroadcastNestedLoop
+    over a broadcast of |Q| or n_centroids rows is the intended plan)
+    — but a CartesianProduct (both sides big) must never appear."""
+    from searchengine_spark.operators.similarity import (
+        ann_ivf_top1,
+        cosine_neardup_lsh,
+        cosine_topk,
+        lsh_bucket_top1,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for name, df in (
+        ("cosine_topk", cosine_topk(emb, [0, 1, 2], k=3)),
+        ("lsh_top1", lsh_bucket_top1(emb)),
+        ("ivf_top1", ann_ivf_top1(emb)),
+        ("neardup_lsh", cosine_neardup_lsh(emb)),
+    ):
+        plan = _formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+    # the bucketed pair ops specifically must be pure equi-joins
+    for name, df in (
+        ("lsh_top1", lsh_bucket_top1(emb)),
+        ("neardup_lsh", cosine_neardup_lsh(emb)),
+    ):
+        plan = _formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
