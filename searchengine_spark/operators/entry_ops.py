@@ -44,6 +44,7 @@ def _load() -> None:
         dedup,
         engine_extra,
         multimodal,
+        phrase,
         sessions,
         similarity,
         textstats,

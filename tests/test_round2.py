@@ -328,6 +328,44 @@ def test_sessionize_property_vs_pure_python(spark):
     assert got == want, (len(got), len(want), sorted(got ^ want)[:4])
 
 
+def test_phrase_search_semantics(spark):
+    """Exact phrase matching on hand-built docs: counts occurrences,
+    honors order, supports duplicate-term phrases ('b b'), returns
+    nothing for non-adjacent terms."""
+    from searchengine_spark.operators.phrase import (
+        phrase_search,
+        positions_frame,
+    )
+
+    docs = [
+        (1, "a b c a b c".split()),       # "a b" twice, "b c" twice
+        (2, "b a c".split()),             # has a,b,c but no "a b"
+        (3, "b b b".split()),             # "b b" twice (overlapping)
+        (4, "c".split()),
+    ]
+    dt = spark.createDataFrame(
+        [(d, len(t), t) for d, t in docs],
+        "docid long, doc_len long, tokens array<string>",
+    )
+    pos = positions_frame(dt)
+
+    def run(terms, k=10):
+        return [
+            (r["docid"], r["phrase_tf"])
+            for r in phrase_search(pos, terms, k=k).collect()
+        ]
+
+    assert run(["a", "b"]) == [(1, 2)]
+    assert run(["b", "c"]) == [(1, 2)]
+    assert run(["a", "b", "c"]) == [(1, 2)]
+    assert run(["b", "b"]) == [(3, 2)]       # overlapping occurrences
+    assert run(["c", "a"]) == [(1, 1)]       # "c a" at pos 2->3 in doc 1
+    assert run(["a", "c"]) == [(2, 1)]       # "a c" only in doc 2
+    assert run(["c", "b"]) == []             # never adjacent anywhere
+    assert run(["zz", "b"]) == []            # OOV term
+    assert [d for d, _ in run(["b"])] == [3, 1, 2]  # tf desc, docid asc
+
+
 def test_max_shingle_df_stop_shingle_guard(spark):
     """The boilerplate-shingle guard (prefix-filtering analog) must
     drop ultra-common shingles before the inverted self-join — the
