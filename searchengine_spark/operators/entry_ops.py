@@ -45,6 +45,7 @@ def _load() -> None:
         engine_extra,
         multimodal,
         phrase,
+        related,
         sessions,
         similarity,
         textstats,

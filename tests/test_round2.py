@@ -366,6 +366,34 @@ def test_phrase_search_semantics(spark):
     assert [d for d, _ in run(["b"])] == [3, 1, 2]  # tf desc, docid asc
 
 
+def test_related_docs_tfidf_semantics(spark):
+    """Two near-identical docs must be each other's top-1 related doc;
+    the max_term_df guard drops ubiquitous (idf~0) terms without
+    changing that."""
+    from searchengine_spark.operators.related import related_docs_topk
+
+    rows = [
+        ("000000000001", "alpha beta gamma delta common"),
+        ("000000000002", "alpha beta gamma delta common"),
+        ("000000000003", "omega psi chi phi common"),
+        ("000000000004", "zeta eta theta iota common"),
+    ]
+    docs = spark.createDataFrame(rows, "pid string, content string")
+    idx = build_index_frames(docs, stem_stop=False)
+    for guard in (None, 3):  # 'common' (df=4) dropped when guard=3
+        got = {
+            r["docid"]: (r["related_docid"], r["cosine"])
+            for r in related_docs_topk(
+                idx.postings, idx.lexicon, k=1, max_term_df=guard
+            ).collect()
+        }
+        assert got[1][0] == 2 and got[2][0] == 1, (guard, got)
+        assert got[1][1] == 1.0  # identical docs -> cosine exactly 1
+    # guarded: docs 3/4 share ONLY the dropped term -> no pair at all
+    guarded = related_docs_topk(idx.postings, idx.lexicon, k=1, max_term_df=3)
+    assert guarded.filter("docid >= 3").count() == 0
+
+
 def test_max_shingle_df_stop_shingle_guard(spark):
     """The boilerplate-shingle guard (prefix-filtering analog) must
     drop ultra-common shingles before the inverted self-join — the
