@@ -161,6 +161,27 @@ def main() -> None:
         cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count()
         timings["ann_cosine_topk"] = round(time.time() - tq, 3)
 
+        # positional phrase search over the built index's token stream
+        from searchengine_spark.operators.phrase import (
+            phrase_search,
+            positions_frame,
+        )
+
+        dt = spark.read.parquet(f"{tmp}/index/doc_tokens").select(
+            "docid", "doc_len", "tokens"
+        )
+        tq = time.time()
+        phrase_search(positions_frame(dt), ["spark", "join"], k=10).count()
+        timings["phrase_search"] = round(time.time() - tq, 3)
+
+        # event sessionization at the same sf
+        from searchengine_spark.operators.sessions import sessionize
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        tq = time.time()
+        sessionize(events).count()
+        timings["event_sessionization"] = round(time.time() - tq, 3)
+
         total = round(sum(timings.values()), 3)
         out = {
             "metric": "index_build_plus_topk_queries",
