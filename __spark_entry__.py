@@ -219,6 +219,24 @@ def _q_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_block_bmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-block max scores (Ding & Suel block-max layout,
+    build stage 4): the PERSISTED blocks table, bmax columns rounded to
+    {ROUND} decimals for the cross-engine compare (round commutes with
+    max — both are monotone)."""
+    from searchengine_spark.operators.entry_ops import gate_disk_index
+
+    idx = gate_disk_index(spark, sf_dir)
+    return idx.blocks.select(
+        "term",
+        "block_id",
+        "max_docid",
+        F.col("num_postings").cast("long").alias("num_postings"),
+        F.round("bmax_bm25", ROUND).alias("bmax_bm25"),
+        F.round("bmax_tfidf", ROUND).alias("bmax_tfidf"),
+    )
+
+
 def _q_trec_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TREC results sink (S14 — QueryPerformancesMain.java:37-58):
     one `qid Q0 pid rank score runid` row per hit, all queries."""
@@ -341,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_stats": _q_lexicon,          # A4-A7 df/idf/maxTf/TUBs
         "collection_stats": _q_collection_stats,  # A3/A8/S11
         "block_metadata": _q_blocks,          # M5/S7 sqrt-block law
+        "block_bmax": _q_block_bmax,          # J3 stored block-max scores
         # query evaluation surface (SURVEY §2.5/2.6, M6/M7)
         "topk_bm25_disj": _q_topk("spark join fast", "bm25", False),
         "topk_bm25_conj": _q_topk("hash table scan", "bm25", True),
@@ -420,6 +439,48 @@ SELECT term,
        max(docid) AS max_docid,
        CAST(count(*) AS BIGINT) AS num_postings
 FROM ranked GROUP BY term, CAST(rnk // max_per_block AS BIGINT)
+""",
+        "block_bmax": f"""
+WITH {_BASE_CTES},
+tdf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term
+),
+law AS (
+  SELECT term, df,
+         CASE WHEN df >= 1024 THEN CAST(ceil(sqrt(CAST(df AS DOUBLE))) AS BIGINT)
+              ELSE 1 END AS num_blocks
+  FROM tdf
+),
+law2 AS (
+  SELECT term, df, num_blocks,
+         CAST(ceil(CAST(df AS DOUBLE) / num_blocks) AS BIGINT) AS max_per_block
+  FROM law
+),
+ranked AS (
+  SELECT p.term,
+         CAST(row_number() OVER (PARTITION BY p.term ORDER BY p.docid) - 1
+              AS BIGINT) AS rnk,
+         p.docid, p.tf, p.doc_len, l.max_per_block
+  FROM p JOIN law2 l USING (term)
+),
+sc AS (
+  SELECT r.term,
+         CAST(rnk // max_per_block AS BIGINT) AS block_id,
+         r.docid,
+         log10((SELECT nd FROM n) / CAST(t.df AS DOUBLE))
+           * (1.0 + log10(CAST(r.tf AS DOUBLE)))
+           / ((1.0 + log10(CAST(r.tf AS DOUBLE)))
+              + {K1} * ((1.0 - {B}) + {B} * CAST(r.doc_len AS DOUBLE)
+                        / (SELECT avgdl FROM n))) AS s_bm25,
+         log10((SELECT nd FROM n) / CAST(t.df AS DOUBLE))
+           * (1.0 + log10(CAST(r.tf AS DOUBLE))) AS s_tfidf
+  FROM ranked r JOIN tdf t USING (term)
+)
+SELECT term, block_id, max(docid) AS max_docid,
+       CAST(count(*) AS BIGINT) AS num_postings,
+       round(max(s_bm25), {ROUND}) AS bmax_bm25,
+       round(max(s_tfidf), {ROUND}) AS bmax_tfidf
+FROM sc GROUP BY term, block_id
 """,
         "topk_bm25_disj": _topk_sql(["spark", "join", "fast"], "bm25", False, 10),
         "topk_bm25_conj": _topk_sql(["hash", "table", "scan"], "bm25", True, 10),

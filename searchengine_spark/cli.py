@@ -51,6 +51,7 @@ def cmd_build(args: argparse.Namespace) -> int:
             stem_stop=not args.no_stem_stop,
             compression=not args.no_compression,
             max_score=not args.no_maxscore,
+            positions=args.positions,
             num_partitions=args.partitions,
             overwrite=args.overwrite,
         ),
@@ -181,15 +182,23 @@ def cmd_repl(args: argparse.Namespace) -> int:
         if not line:
             continue
         if line.startswith(":"):
+            # malformed directives report and continue — they must not
+            # kill the interactive session
             parts = line[1:].split()
             if parts[0] in ("quit", "exit", "q"):
                 break
             elif parts[0] == "k" and len(parts) > 1:
-                k = int(parts[1])
+                try:
+                    k = int(parts[1])
+                except ValueError:
+                    print(f"bad :k value (want an integer): {parts[1]}")
             elif parts[0] == "conj" and len(parts) > 1:
                 conjunctive = parts[1] == "on"
             elif parts[0] == "scoring" and len(parts) > 1:
-                scoring = parts[1]
+                if parts[1] in ("bm25", "tfidf"):
+                    scoring = parts[1]
+                else:
+                    print(f"bad :scoring value (want bm25|tfidf): {parts[1]}")
             elif parts[0] == "maxscore" and len(parts) > 1:
                 use_maxscore = parts[1] == "on"
             else:
@@ -233,6 +242,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-compression", action="store_true")
     b.add_argument("--no-maxscore", action="store_true")
     b.add_argument("--partitions", type=int, default=None)
+    b.add_argument("--positions", action="store_true",
+                   help="also build the positional postings stage")
     b.add_argument("--overwrite", action="store_true")
     b.set_defaults(fn=cmd_build)
 

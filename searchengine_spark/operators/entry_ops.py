@@ -32,6 +32,33 @@ def extra_oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+_DISK_IDX: dict[str, object] = {}
+
+
+def gate_disk_index(spark: SparkSession, sf_dir: str):
+    """Shared PERSISTED index (stem_stop=False, positions on) for gates
+    that exercise the disk path (phrase-from-index, materialized
+    block-max). Built once per sf_dir per process into a fresh temp
+    dir, so gate runs never resume stale stages."""
+    idx = _DISK_IDX.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        import __spark_entry__ as entry
+
+        from .indexer import IndexConfig, InvertedIndex, build_index
+
+        tmp = tempfile.mkdtemp(prefix="se_gate_idx_")
+        build_index(
+            entry._docs(spark, sf_dir),
+            tmp,
+            IndexConfig(stem_stop=False, compression=False, positions=True),
+        )
+        idx = InvertedIndex.load(spark, tmp)
+        _DISK_IDX[sf_dir] = idx
+    return idx
+
+
 _LOADED = False
 
 

@@ -70,6 +70,7 @@ class IndexConfig:
     stem_stop: bool = True       # reference flag -s
     compression: bool = True     # reference flag -c (packed postings)
     max_score: bool = True       # reference flag -m (Flags.java:11-55)
+    positions: bool = False      # beyond-reference: positional postings stage
     num_partitions: int | None = None
     overwrite: bool = False      # False => resume from completed stages
 
@@ -109,6 +110,17 @@ class InvertedIndex:
     @property
     def postings_packed(self) -> DataFrame:
         return self._read("postings_packed")
+
+    @property
+    def positions(self) -> DataFrame:
+        """Positional postings (term, docid, doc_len, tf, positions) —
+        present only when the index was built with positions=True."""
+        if not self.manifest.get("flags", {}).get("positions", False):
+            raise ValueError(
+                "index was built without the positions stage; rebuild with "
+                "IndexConfig(positions=True) to serve phrase queries from disk"
+            )
+        return self._read("positions")
 
     @property
     def stats(self) -> dict:
@@ -267,8 +279,9 @@ def _read_stage(spark: SparkSession, path: Path, min_splits: int) -> DataFrame:
         total = sum(
             f.stat().st_size for f in Path(path).rglob("*.parquet")
         )
-        mpb = min(max(total // max(min_splits, 1) + 1, 4 << 20), 128 << 20)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        if total > 0:  # empty probe (object store / no files): keep default
+            mpb = min(max(total // max(min_splits, 1) + 1, 4 << 20), 128 << 20)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     except Exception:
         pass
     return spark.read.parquet(str(path))
@@ -599,6 +612,60 @@ def unpack_postings(packed: DataFrame) -> DataFrame:
     ).mapInPandas(unpack, _UNPACK_SCHEMA)
 
 
+def _blocks_with_bmax(postings_with_idf: DataFrame, avgdl: float) -> DataFrame:
+    """Block metadata extended with per-block max scores
+    (term, block_id, max_docid, num_postings, bmax_bm25, bmax_tfidf).
+
+    Per-posting scores are computed by the IDENTICAL numpy expressions
+    as the serving scorer (maxscore._score_arrays) on the identical
+    float64 inputs (idf from the lexicon, avgdl from the manifest), so
+    the stored per-block max is bit-equal to the max the driver would
+    compute over that block — the bound can never be an ulp below a
+    real score, which preserves MaxScore's rank-identity guarantee.
+    Input: postings joined with lexicon idf (vocabulary-sized side —
+    AQE broadcasts it)."""
+    import numpy as np
+
+    sch = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("block_id", T.LongType()),
+            T.StructField("docid", T.LongType()),
+            T.StructField("s_bm25", T.DoubleType()),
+            T.StructField("s_tfidf", T.DoubleType()),
+        ]
+    )
+    k1, b = float(K1), float(B)
+
+    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["doc_len"].to_numpy()
+            idfs = pdf["idf"].to_numpy(np.float64)
+            # same op order as _score_arrays: idf * ltf / denom
+            ltf = 1.0 + np.log10(tfs.astype(np.float64))
+            denom = ltf + k1 * ((1.0 - b) + b * dls.astype(np.float64) / avgdl)
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "block_id": pdf["block_id"],
+                    "docid": pdf["docid"],
+                    "s_bm25": idfs * ltf / denom,
+                    "s_tfidf": idfs * ltf,
+                }
+            )
+
+    scored = postings_with_idf.select(
+        "term", "block_id", "docid", "tf", "doc_len", "idf"
+    ).mapInPandas(score_batch, sch)
+    return scored.groupBy("term", "block_id").agg(
+        F.max("docid").alias("max_docid"),
+        F.count("*").alias("num_postings"),
+        F.max("s_bm25").alias("bmax_bm25"),
+        F.max("s_tfidf").alias("bmax_tfidf"),
+    )
+
+
 def build_index(
     docs: DataFrame,
     index_dir: str,
@@ -630,12 +697,20 @@ def build_index(
     manifest: dict = (
         json.loads(manifest_path.read_text())
         if manifest_path.exists()
-        else {"flags": flags, "stages": {}, "stats": {}}
+        else {"flags": dict(flags), "stages": {}, "stats": {}}
     )
-    if manifest["flags"] != flags:
+    # pre-max_score manifests (2 keys) default the flag like query time does
+    manifest["flags"].setdefault("max_score", True)
+    # `positions` is stage presence, not a query-semantics flag: an index
+    # can gain the positions stage on a later build without invalidating
+    # the resume identity (stem_stop/compression/max_score must match).
+    loaded_semantic = {
+        k: v for k, v in manifest["flags"].items() if k != "positions"
+    }
+    if loaded_semantic != flags:
         raise ValueError(
             "index flags mismatch on resume — query-time behavior must match "
-            f"index-time (Flags.java:11-55): {manifest['flags']}"
+            f"index-time (Flags.java:11-55): {loaded_semantic}"
         )
     n_part = cfg.num_partitions  # None -> AQE-sized shuffles
 
@@ -674,113 +749,149 @@ def build_index(
         ).parquet(str(doc_stats_dir))
         record("doc_stats", t0, partitions=n_part)
 
-    # ---- stage 2: SPIMI posting blocks (checkpoint granularity) ----------
+    # ---- stages 2..6 tune spark.sql.files.maxPartitionBytes per stage
+    # read (_read_stage); restore the session's value on EVERY exit path
+    # (a stage failure must not leave later scans at a 4 MB split size)
     min_splits = 2 * spark.sparkContext.defaultParallelism
-    # _read_stage tunes spark.sql.files.maxPartitionBytes per stage;
-    # restore the session's value when the build finishes so unrelated
-    # reads in the same session keep their configured split size
     _mpb_before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-    stage_dir = root / "stage_postings"
-    if not _stage_done(stage_dir):
-        t0 = time.time()
-        dt = _read_stage(spark, root / "doc_tokens", min_splits)
-        postings = (
-            dt.select("docid", "doc_len", F.explode("tokens").alias("term"))
-            .filter(F.col("term") != "")  # blank tokens: no postings (Spimi.java:282-286)
-            .groupBy("term", "docid", "doc_len")
-            .agg(F.count("*").alias("tf"))  # spillable partial+final hash agg = SPIMI
-        )
-        postings.write.mode("overwrite").parquet(str(stage_dir))
-        record("stage_postings", t0)
-
-    # ---- stage 3: merge shuffle -> final sorted postings + block ids -----
-    postings_dir = root / "postings"
-    if not _stage_done(postings_dir):
-        t0 = time.time()
-        staged = _read_stage(spark, stage_dir, min_splits)
-        # per-term df drives the sqrt block law (VocabularyEntry.java:348-361)
-        df_per_term = staged.groupBy("term").agg(F.count("*").alias("df"))
-        blk = df_per_term.select(
-            "term",
-            "df",
-            F.when(F.col("df") >= BLOCK_DF_THRESHOLD,
-                   F.ceil(F.sqrt(F.col("df"))))
-            .otherwise(F.lit(1))
-            .cast("long")
-            .alias("num_blocks"),
-        ).withColumn(
-            "max_per_block", F.ceil(F.col("df") / F.col("num_blocks")).cast("long")
-        )
-        # join the per-term block width BEFORE the rank pass (no
-        # broadcast hint: the term table is vocabulary-sized; AQE picks
-        # broadcast when it fits, shuffle join with skew splitting when
-        # it doesn't), so ONE range shuffle serves both the rank stamp
-        # and the final (term, docid)-sorted layout — the rank pass's
-        # output is already range-partitioned and sorted within
-        # partitions (mapInPandas preserves order), making a second
-        # repartitionByRange + sort of the full posting data redundant.
-        joined = staged.join(blk.select("term", "max_per_block"), "term")
-        ranked = _rank_within_groups(
-            joined, "term", "docid", "posting_rank", num_partitions=n_part
-        )
-        merged = ranked.withColumn(
-            "block_id",
-            (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
-        ).select("term", "docid", "tf", "doc_len", "block_id")
-        merged.write.mode("overwrite").parquet(str(postings_dir))
-        blk.write.mode("overwrite").parquet(str(root / "term_df"))
-        record("postings", t0)
-
-    # ---- stage 4: lexicon + block metadata --------------------------------
-    lexicon_dir = root / "lexicon"
-    if not _stage_done(lexicon_dir):
-        t0 = time.time()
-        doc_stats = spark.read.parquet(str(doc_stats_dir))
-        n_docs, total_doc_len = (
-            doc_stats.agg(F.count("*"), F.sum("doc_len")).collect()[0]
-        )
-        avgdl = total_doc_len / n_docs
-        postings = _read_stage(spark, postings_dir, min_splits)
-        lex = compute_lexicon(postings, int(n_docs), avgdl)
-        blk_meta = spark.read.parquet(str(root / "term_df")).select(
-            "term", "num_blocks", "max_per_block"
-        )
-        lex = lex.join(blk_meta, "term")
-        lex.write.mode("overwrite").parquet(str(lexicon_dir))
-
-        blocks = (
-            postings.groupBy("term", "block_id")
-            .agg(
-                F.max("docid").alias("max_docid"),
-                F.count("*").alias("num_postings"),
+    try:
+        # ---- stage 2: SPIMI posting blocks (checkpoint granularity) ------
+        stage_dir = root / "stage_postings"
+        if not _stage_done(stage_dir):
+            t0 = time.time()
+            dt = _read_stage(spark, root / "doc_tokens", min_splits)
+            postings = (
+                dt.select("docid", "doc_len", F.explode("tokens").alias("term"))
+                .filter(F.col("term") != "")  # blank tokens: no postings (Spimi.java:282-286)
+                .groupBy("term", "docid", "doc_len")
+                .agg(F.count("*").alias("tf"))  # spillable partial+final hash agg = SPIMI
             )
-        )
-        blocks.write.mode("overwrite").parquet(str(root / "blocks"))
-        n_terms = spark.read.parquet(str(lexicon_dir)).count()
-        manifest["stats"] = {
-            "n_docs": int(n_docs),
-            "total_doc_len": int(total_doc_len),
-            "avg_doc_len": avgdl,
-            "n_terms": int(n_terms),
-        }
-        record("lexicon", t0, terms=int(n_terms))
+            postings.write.mode("overwrite").parquet(str(stage_dir))
+            record("stage_postings", t0)
 
-    # ---- stage 5: packed postings (compression flag) ----------------------
-    packed_dir = root / "postings_packed"
-    if cfg.compression and not _stage_done(packed_dir):
-        t0 = time.time()
-        postings = _read_stage(spark, postings_dir, min_splits)
-        packed = postings.groupBy("term", "block_id").applyInPandas(
-            _pack_group, schema=_PACK_SCHEMA
-        )
-        packed.write.mode("overwrite").parquet(str(packed_dir))
-        record("postings_packed", t0)
+        # ---- stage 3: merge shuffle -> final sorted postings + block ids -----
+        postings_dir = root / "postings"
+        if not _stage_done(postings_dir):
+            t0 = time.time()
+            staged = _read_stage(spark, stage_dir, min_splits)
+            # per-term df drives the sqrt block law (VocabularyEntry.java:348-361)
+            df_per_term = staged.groupBy("term").agg(F.count("*").alias("df"))
+            blk = df_per_term.select(
+                "term",
+                "df",
+                F.when(F.col("df") >= BLOCK_DF_THRESHOLD,
+                       F.ceil(F.sqrt(F.col("df"))))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("num_blocks"),
+            ).withColumn(
+                "max_per_block", F.ceil(F.col("df") / F.col("num_blocks")).cast("long")
+            )
+            # join the per-term block width BEFORE the rank pass (no
+            # broadcast hint: the term table is vocabulary-sized; AQE picks
+            # broadcast when it fits, shuffle join with skew splitting when
+            # it doesn't), so ONE range shuffle serves both the rank stamp
+            # and the final (term, docid)-sorted layout — the rank pass's
+            # output is already range-partitioned and sorted within
+            # partitions (mapInPandas preserves order), making a second
+            # repartitionByRange + sort of the full posting data redundant.
+            joined = staged.join(blk.select("term", "max_per_block"), "term")
+            ranked = _rank_within_groups(
+                joined, "term", "docid", "posting_rank", num_partitions=n_part
+            )
+            merged = ranked.withColumn(
+                "block_id",
+                (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
+            ).select("term", "docid", "tf", "doc_len", "block_id")
+            merged.write.mode("overwrite").parquet(str(postings_dir))
+            blk.write.mode("overwrite").parquet(str(root / "term_df"))
+            record("postings", t0)
 
-    manifest_path.write_text(json.dumps(manifest, indent=2))
-    if _mpb_before is not None:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", _mpb_before)
-    else:
-        spark.conf.unset("spark.sql.files.maxPartitionBytes")
-    # every stage is materialized to parquet; cached intermediates can go
-    _release_persisted()
+        # ---- stage 4: lexicon + block metadata (incl. block-max scores) --
+        lexicon_dir = root / "lexicon"
+        if not _stage_done(lexicon_dir):
+            t0 = time.time()
+            doc_stats = spark.read.parquet(str(doc_stats_dir))
+            n_docs, total_doc_len = (
+                doc_stats.agg(F.count("*"), F.sum("doc_len")).collect()[0]
+            )
+            avgdl = total_doc_len / n_docs
+            postings = _read_stage(spark, postings_dir, min_splits)
+            lex = compute_lexicon(postings, int(n_docs), avgdl)
+            blk_meta = spark.read.parquet(str(root / "term_df")).select(
+                "term", "num_blocks", "max_per_block"
+            )
+            lex = lex.join(blk_meta, "term")
+            lex.write.mode("overwrite").parquet(str(lexicon_dir))
+
+            # blocks carry per-block MAX SCORES for both scoring functions
+            # (Ding & Suel, SIGIR 2011: block-max structures live in the
+            # index, not recomputed per query). Scores come from the same
+            # numpy kernel the serving scorer uses (maxscore._score_arrays)
+            # so a stored bound is bit-identical to — hence a true upper
+            # bound of — every score the driver computes at query time.
+            lexw = spark.read.parquet(str(lexicon_dir)).select("term", "idf")
+            blocks = _blocks_with_bmax(
+                postings.join(lexw, "term"), float(avgdl)
+            )
+            blocks.write.mode("overwrite").parquet(str(root / "blocks"))
+            n_terms = spark.read.parquet(str(lexicon_dir)).count()
+            manifest["stats"] = {
+                "n_docs": int(n_docs),
+                "total_doc_len": int(total_doc_len),
+                "avg_doc_len": avgdl,
+                "n_terms": int(n_terms),
+            }
+            record("lexicon", t0, terms=int(n_terms))
+
+        # ---- stage 5: packed postings (compression flag) ----------------------
+        packed_dir = root / "postings_packed"
+        if cfg.compression and not _stage_done(packed_dir):
+            t0 = time.time()
+            postings = _read_stage(spark, postings_dir, min_splits)
+            packed = postings.groupBy("term", "block_id").applyInPandas(
+                _pack_group, schema=_PACK_SCHEMA
+            )
+            packed.write.mode("overwrite").parquet(str(packed_dir))
+            record("postings_packed", t0)
+
+
+        # ---- stage 6: positional postings (positions flag) ---------------
+        # (term, docid)-range layout like postings/, so a phrase query's
+        # per-term reads are contiguous scans with term pushdown. Phrase
+        # search then serves from disk with NO corpus re-analysis.
+        pos_dir = root / "positions"
+        if cfg.positions and not _stage_done(pos_dir):
+            t0 = time.time()
+            dt = _read_stage(spark, root / "doc_tokens", min_splits)
+            pos = (
+                dt.select(
+                    "docid", "doc_len",
+                    F.posexplode("tokens").alias("pos", "term"),
+                )
+                .filter(F.col("term") != "")
+                .groupBy("term", "docid", "doc_len")
+                .agg(
+                    F.count("*").cast("int").alias("tf"),
+                    F.array_sort(F.collect_list("pos")).alias("positions"),
+                )
+            )
+            (
+                pos.repartitionByRange("term", "docid")
+                .sortWithinPartitions("term", "docid")
+                .write.mode("overwrite")
+                .parquet(str(pos_dir))
+            )
+            record("positions", t0)
+        if cfg.positions:
+            manifest["flags"]["positions"] = True
+
+        manifest_path.write_text(json.dumps(manifest, indent=2))
+    finally:
+        if _mpb_before is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", _mpb_before)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        # every stage is materialized to parquet; cached intermediates can go
+        _release_persisted()
     return InvertedIndex(spark, str(root), manifest)

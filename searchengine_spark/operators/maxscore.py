@@ -87,6 +87,99 @@ def _block_bounds(
     return bmax_docid, bmax_score
 
 
+_BYTES_PER_POSTING = 32  # 4 numpy columns x 8 B on the driver
+_FETCH_MEM_FRACTION = 8  # budget = driver memory / 8 / bytes-per-posting
+
+
+def _default_fetch_budget(spark) -> int:
+    """Fetch budget (in postings) derived from the driver's memory
+    instead of a constant: the gathered query-term lists cost about
+    ``_BYTES_PER_POSTING`` bytes each on the driver, and the budget
+    caps them at 1/``_FETCH_MEM_FRACTION`` of ``spark.driver.memory``
+    (the LRU holds up to 1000 terms, so headroom matters). Deploys pin
+    it with SE_MAXSCORE_FETCH_POSTINGS, like the warm thresholds."""
+    import os
+
+    env = os.environ.get("SE_MAXSCORE_FETCH_POSTINGS")
+    if env:
+        return int(env)
+    try:
+        mem = spark.conf.get("spark.driver.memory", "1g") or "1g"
+    except Exception:
+        mem = "1g"
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    m = str(mem).strip().lower()
+    mult = units.get(m[-1:], 1)
+    if mult != 1:
+        m = m[:-1]
+    try:
+        nbytes = int(float(m)) * mult
+    except ValueError:
+        nbytes = 1 << 30
+    return max(
+        1_000_000, int(nbytes // _FETCH_MEM_FRACTION // _BYTES_PER_POSTING)
+    )
+
+
+def _fetch_block_bounds(index, terms: list[str], scoring: str) -> dict:
+    """Materialized block-max bounds from the index's ``blocks`` table
+    (bmax_bm25/bmax_tfidf columns written by the build's stage 4 —
+    Ding & Suel's stored block-max structure). Returns {} when the
+    index has no materialized bounds (in-memory IndexFrames, or a
+    pre-bmax disk index) so the caller falls back to recomputing
+    bounds from the fetched posting arrays (_block_bounds).
+
+    Per-term bound arrays are LRU-cached on the index next to the
+    posting-list LRU, so a warm term's bounds cost zero Spark jobs."""
+    has = getattr(index, "_blocks_has_bmax", None)
+    if has is None:
+        try:
+            has = "bmax_bm25" in index.blocks.columns
+        except Exception:
+            has = False
+        try:
+            index._blocks_has_bmax = has
+        except AttributeError:
+            pass
+    if not has:
+        return {}
+    lru = getattr(index, "_blocks_lru", None)
+    if lru is None:
+        from collections import OrderedDict
+
+        lru = OrderedDict()
+        try:
+            index._blocks_lru = lru
+        except AttributeError:
+            pass
+    to_fetch = [t for t in terms if t not in lru]
+    if to_fetch:
+        pdf = (
+            index.blocks.filter(F.col("term").isin(to_fetch))
+            .select("term", "block_id", "max_docid", "bmax_bm25", "bmax_tfidf")
+            .toPandas()
+        )
+        for t in to_fetch:
+            sub = pdf[pdf["term"] == t].sort_values("block_id")
+            if len(sub) == 0:
+                continue
+            lru[t] = (
+                sub["max_docid"].to_numpy(np.int64),
+                sub["bmax_bm25"].to_numpy(np.float64),
+                sub["bmax_tfidf"].to_numpy(np.float64),
+            )
+            while len(lru) > 1000:
+                lru.popitem(last=False)
+    out = {}
+    for t in terms:
+        got = lru.get(t)
+        if got is not None:
+            lru.move_to_end(t)
+            md, b25, btf = got
+            out[t] = (md, b25 if scoring == "bm25" else btf)
+    return out
+
+
 def _maxscore_slice(
     lists: list[dict],
     lo: int,
@@ -235,7 +328,7 @@ def _serve(
     num_slices: int | None,
     round_decimals: int | None,
     local_threshold: int,
-    fetch_budget: int,
+    fetch_budget: int | None,
     block_max: bool = False,
 ):
     """Shared serving core. Returns ``("fallback", None)`` when the
@@ -249,6 +342,9 @@ def _serve(
         return "fallback", None
     avgdl = stats["total_doc_len"] / stats["n_docs"]
     n_docs = stats["n_docs"]
+
+    if fetch_budget is None:
+        fetch_budget = _default_fetch_budget(spark)
 
     terms = query_terms(text, stem_stop)
     if not terms:
@@ -309,6 +405,11 @@ def _serve(
             )
             while len(lru) > 1000:  # reference LRU size (Vocabulary.java:17)
                 lru.popitem(last=False)
+    # block-max bounds: prefer the MATERIALIZED per-block max scores from
+    # the index's blocks table (stored at build, Ding & Suel's BMM
+    # layout); recompute from the fetched arrays only when the index has
+    # none (in-memory frames / legacy index).
+    bm_stored = _fetch_block_bounds(index, present, scoring) if block_max else {}
     lists = []
     for t in present:
         docids, tfs, dls = lru[t]
@@ -317,12 +418,15 @@ def _serve(
         idf = float(r["idf"])
         scores = _score_arrays(scoring, idf, tfs, dls, avgdl)
         tub = float(r["tub_bm25_exact"] if scoring == "bm25" else r["tub_tfidf"])
+        bm = None
+        if block_max:
+            bm = bm_stored.get(t) or _block_bounds(docids, scores)
         lists.append(
             {
                 "docids": docids,
                 "scores": scores,
                 "tub": tub,
-                "bm": _block_bounds(docids, scores) if block_max else None,
+                "bm": bm,
                 "qpos": len(lists),  # original query-term order
             }
         )
@@ -365,7 +469,7 @@ def maxscore_topk_rows(
     num_slices: int | None = None,
     round_decimals: int | None = None,
     local_threshold: int = 2_000_000,
-    fetch_budget: int = 50_000_000,
+    fetch_budget: int | None = None,
     block_max: bool = False,
 ) -> list[tuple[int, str, float]]:
     """Warm serving surface: top-k as plain (docid, pid, score) rows,
@@ -410,7 +514,7 @@ def maxscore_topk(
     num_slices: int | None = None,
     round_decimals: int | None = None,
     local_threshold: int = 2_000_000,
-    fetch_budget: int = 50_000_000,
+    fetch_budget: int | None = None,
     block_max: bool = False,
 ) -> DataFrame:
     """Top-k via broadcast posting lists + partition-parallel MaxScore.

@@ -10,20 +10,28 @@ and classic phrase retrieval.
   ``positions`` is the sorted 0-based token offsets of the term in the
   ANALYZED token sequence (Lucene-style: positions index the
   post-analysis stream). Built by ``posexplode`` + one (term, docid)
-  aggregation — same shuffle shape as the tf postings.
+  aggregation — same shuffle shape as the tf postings. The PERSISTED
+  twin is the build's stage 6 (indexer.build_index positions=True):
+  identical rows, written (term, docid)-range-partitioned so a phrase
+  query's per-term reads are term-pushdown contiguous scans, and
+  ``InvertedIndex.positions`` serves them with NO corpus re-analysis.
 * ``phrase_search``    — docs containing the query terms as a
   CONSECUTIVE phrase, ranked by phrase frequency. Matching is pure
-  JVM array math: join each query term's position array onto the
-  first term's rows by docid, then one ``filter(pos0, x ->
-  array_contains(pos_i, x + i) ...)`` — the classic positional
+  JVM array math: join every term's position array onto the RAREST
+  term's rows by docid (df ascending when a lexicon is supplied —
+  intermediates are bounded by the rarest list, so a phrase starting
+  with a boilerplate term no longer drags the largest list through
+  every join), then one ``filter(p_anchor, y ->
+  array_contains(p_i, y - anchor + i) ...)`` — the classic positional
   intersection, no Python, no explode of positions.
 
 Scale notes: the docid equi-joins let Catalyst/AQE pick broadcast vs
-shuffle per term (the rarest term's side is small — AQE's join
-reordering and size estimates favor it); a phrase containing only
-boilerplate terms degrades to a large equi-join, never a cross join.
-Position arrays add ~1 int per token to the index — the standard
-positional-index cost (Manning/Raghavan/Schütze, IIR ch. 2.4).
+shuffle per term; with rarest-first ordering the anchor side is the
+smallest list by construction rather than by AQE's runtime estimate.
+A phrase containing only boilerplate terms degrades to a large
+equi-join, never a cross join. Position arrays add ~1 int per token
+to the index — the standard positional-index cost
+(Manning/Raghavan/Schütze, IIR ch. 2.4).
 """
 
 from __future__ import annotations
@@ -53,52 +61,88 @@ def positions_frame(doc_tokens: DataFrame) -> DataFrame:
     )
 
 
+def _phrase_join_order(terms: list[str], dfs: dict[str, int]) -> list[int]:
+    """Join order over term indices: document frequency ascending, the
+    original index as the deterministic tie-break. The first element is
+    the ANCHOR — the rarest term's posting list bounds every
+    intermediate join result."""
+    return sorted(range(len(terms)), key=lambda i: (dfs[terms[i]], i))
+
+
 def phrase_search(
     positions: DataFrame,
     terms: list[str],
     k: int = 10,
+    lexicon: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (docid, phrase_tf) for an exact consecutive phrase.
 
     ``terms`` is the analyzed query token sequence IN ORDER (duplicates
     meaningful — "buffalo buffalo" is a real phrase query). A doc
-    matches where positions(t0) contains x and positions(t_i) contains
-    x+i for every i; phrase_tf = number of such x. Rank: phrase_tf
-    DESC, docid ASC."""
+    matches where positions(t_i) contains x+i for every i at some
+    start x; phrase_tf = number of such x. Rank: phrase_tf DESC,
+    docid ASC.
+
+    When ``lexicon`` is given, joins run RAREST-FIRST (per-term df
+    ascending): the anchor list is the rarest term's, every subsequent
+    equi-join is bounded by it, and the containment predicate shifts
+    offsets relative to the anchor's phrase position — semantics are
+    identical to query order (occurrence starts are in bijection with
+    anchor positions). A query term absent from the lexicon
+    short-circuits to the empty result without any join (P10's
+    missing-term rule, applied to phrases)."""
     if not terms:
         raise ValueError("empty phrase")
     spark = positions.sparkSession
-    empty = spark.createDataFrame([], "docid long, phrase_tf long")
-    base = (
-        positions.filter(F.col("term") == terms[0])
-        .select("docid", F.col("positions").alias("p0"))
+    order = list(range(len(terms)))
+    if lexicon is not None:
+        uniq = list(dict.fromkeys(terms))
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in lexicon.filter(F.col("term").isin(uniq))
+            .select("term", "df")
+            .collect()
+        }
+        if len(dfs) < len(uniq):  # missing term -> no phrase can match
+            return spark.createDataFrame([], "docid long, phrase_tf long")
+        order = _phrase_join_order(terms, dfs)
+    anchor = order[0]
+    cur = (
+        positions.filter(F.col("term") == terms[anchor])
+        .select("docid", F.col("positions").alias(f"p{anchor}"))
     )
-    arrays = ["p0"]
-    cur = base
-    for i, t in enumerate(terms[1:], start=1):
+    for i in order[1:]:
         side = (
-            positions.filter(F.col("term") == t)
+            positions.filter(F.col("term") == terms[i])
             .select("docid", F.col("positions").alias(f"p{i}"))
         )
         cur = cur.join(side, "docid")
-        arrays.append(f"p{i}")
 
-    def contains_shifted(pi, i):
-        def pred(x):
-            return F.array_contains(pi, x + i)
+    def contains_shifted(pi, delta):
+        def pred(y):
+            return F.array_contains(pi, y + delta)
 
         return pred
 
-    match = F.col("p0")
-    for i in range(1, len(terms)):
-        match = F.filter(match, contains_shifted(F.col(f"p{i}"), i))
-    out = (
+    # anchor positions y correspond to phrase starts x = y - anchor;
+    # term i must appear at x + i = y + (i - anchor)
+    match = F.col(f"p{anchor}")
+    for i in order[1:]:
+        match = F.filter(match, contains_shifted(F.col(f"p{i}"), i - anchor))
+    return (
         cur.select("docid", F.size(match).cast("long").alias("phrase_tf"))
         .filter(F.col("phrase_tf") > 0)
         .orderBy(F.col("phrase_tf").desc(), F.col("docid").asc())
         .limit(k)
     )
-    return out if terms else empty
+
+
+def phrase_search_indexed(index, terms: list[str], k: int = 10) -> DataFrame:
+    """Phrase search served from a PERSISTED positional index
+    (indexer stage 6): reads ``index.positions`` — no re-tokenization,
+    term-pushdown scans — and orders the joins rarest-first from the
+    index's lexicon."""
+    return phrase_search(index.positions, terms, k=k, lexicon=index.lexicon)
 
 
 # ---------------------------------------------------------------------------
@@ -110,13 +154,14 @@ _PHRASE_K = 10
 
 
 def _q_phrase(spark, sf_dir: str) -> DataFrame:
-    import __spark_entry__ as entry
+    """Gate runs the FULL disk path: build an index with the positions
+    stage, load it back, serve the phrase from ``InvertedIndex.
+    positions`` with rarest-first joins — zero re-analysis at query
+    time (the corpus is tokenized once, in the build)."""
+    from .entry_ops import gate_disk_index
 
-    from .frames import tokenized_docs
-
-    dt = tokenized_docs(entry._docs(spark, sf_dir), stem_stop=False)
-    pos = positions_frame(dt.select("docid", "doc_len", "tokens"))
-    return phrase_search(pos, _PHRASE, k=_PHRASE_K)
+    idx = gate_disk_index(spark, sf_dir)
+    return phrase_search_indexed(idx, _PHRASE, k=_PHRASE_K)
 
 
 def _phrase_sql() -> str:

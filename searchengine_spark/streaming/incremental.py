@@ -189,6 +189,321 @@ def windowed_event_stats(
     return spark.table(name)
 
 
+def _term_partials(postings: DataFrame) -> DataFrame:
+    """Per-term N/avgdl-INDEPENDENT aggregates, from which every lexicon
+    column derives by a map-only pass (``derive_lexicon``):
+
+      df, max_tf, best   — the associative aggregates of compute_lexicon
+      skyline            — the Pareto frontier of (tf, doc_len) pairs:
+                           points not dominated by any (tf' >= tf,
+                           dl' <= dl). The BM25 bound factor
+                           g(tf, dl; avgdl) is increasing in tf and
+                           decreasing in dl, so for EVERY avgdl the
+                           maximizer over a term's postings lies on this
+                           frontier — max_g is recomputable under a
+                           drifting avgdl without touching the postings
+                           (the same idea as Lucene's competitive
+                           (freq, norm) impact pairs).
+    """
+    from pyspark.sql import Window as W
+
+    ratio = (
+        F.col("tf").cast("double")
+        / (F.col("doc_len") + F.col("tf")).cast("double")
+    )
+    base = postings.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.max("tf").alias("max_tf"),
+        F.max(
+            F.struct(
+                ratio.alias("r"),
+                (-F.col("docid")).alias("nd"),
+                F.col("tf").alias("tf"),
+                F.col("doc_len").alias("dl"),
+            )
+        ).alias("best"),
+    )
+    # skyline: max tf per (term, dl), kept only if it beats every
+    # smaller dl's tf (running-max window over the term's distinct
+    # doc_lens — bounded by the distinct-length count, never df)
+    per_dl = postings.groupBy("term", "doc_len").agg(F.max("tf").alias("tf"))
+    prev_max = F.max("tf").over(
+        W.partitionBy("term")
+        .orderBy(F.col("doc_len").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = (
+        per_dl.withColumn("prev_max", prev_max)
+        .filter(F.col("tf") > F.coalesce(F.col("prev_max"), F.lit(-1)))
+        .groupBy("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tf"), F.col("doc_len").alias("dl")))
+            ).alias("skyline")
+        )
+    )
+    return base.join(sky, "term")
+
+
+def derive_lexicon(partials: DataFrame, n_docs: int, avg_doc_len: float) -> DataFrame:
+    """Map-only lexicon from ``_term_partials`` given the CURRENT
+    collection stats — exactly equal to ``compute_lexicon`` over the
+    live postings (same JVM expressions; the skyline contains every
+    possible g-maximizer for any avgdl)."""
+    from ..operators.indexer import B, K1
+
+    def g(tf_col, dl_col):
+        ltf = F.lit(1.0) + F.log10(tf_col.cast("double"))
+        return ltf / (
+            ltf
+            + F.lit(K1)
+            * (
+                F.lit(1.0 - B)
+                + F.lit(B) * dl_col.cast("double") / F.lit(avg_doc_len)
+            )
+        )
+
+    max_g = F.array_max(
+        F.transform(F.col("skyline"), lambda s: g(s["tf"], s["dl"]))
+    )
+    return (
+        partials.select(
+            "term",
+            "df",
+            "max_tf",
+            F.col("best.tf").alias("bm25_tf"),
+            F.col("best.dl").alias("bm25_dl"),
+            max_g.alias("max_g_bm25"),
+        )
+        .withColumn(
+            "idf", F.log10(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+        .withColumn(
+            "tub_tfidf",
+            (F.lit(1.0) + F.log10(F.col("max_tf").cast("double"))) * F.col("idf"),
+        )
+        .withColumn(
+            "tub_bm25",
+            (F.col("idf") * F.col("bm25_tf"))
+            / (
+                F.col("bm25_tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("bm25_dl").cast("double") / F.lit(avg_doc_len)
+                )
+            ),
+        )
+        .withColumn("tub_bm25_exact", F.col("idf") * F.col("max_g_bm25"))
+    )
+
+
+def _inc_segs(spark: SparkSession, root, name: str, n: int) -> DataFrame | None:
+    """Union of committed segment parquets inc/<name>/seg_0..n-1."""
+    from functools import reduce
+
+    paths = [str(root / name / f"seg_{i}") for i in range(n)]
+    frames = [spark.read.parquet(p) for p in paths]
+    if not frames:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def compact_incremental(spark: SparkSession, index_dir: str):
+    """O(delta) compaction: fold only the staged micro-batches newer
+    than the last compaction into a persistent base, instead of
+    rebuilding the whole index per call (the ``compact`` contract).
+
+    Lucene-style segment model under ``{index_dir}/inc/``:
+
+      docs/seg_k, postings/seg_k   — per-compaction APPENDS; docids are
+          assigned PAST the current max in pid order, so ids of
+          already-compacted documents never move (stable-docid
+          contract; a FULL rebuild instead reassigns globally).
+      tombstones/seg_k             — docids superseded by a re-ingested
+          pid; readers anti-join them. A re-ingested doc gets a NEW
+          docid (doc rows are immutable versions).
+      partials/seg_k               — full snapshot of per-term
+          N/avgdl-independent aggregates; only TOUCHED terms (terms of
+          delta docs + terms of tombstoned docs) are recomputed from
+          live postings, the rest are carried over — O(delta-touched),
+          never O(vocabulary-postings).
+      state.json                   — last compacted batch_id, next
+          docid, running n_docs / total_doc_len (committed LAST, so a
+          crashed compaction's orphan seg_k is invisible and simply
+          overwritten by the retry).
+
+    The derived lexicon (``derive_lexicon``) equals ``compute_lexicon``
+    over the live postings exactly — idf/tub columns are recomputed
+    per call from the CURRENT n_docs/avgdl, and the skyline partial
+    makes the exact BM25 bound avgdl-drift-safe (asserted equal to the
+    full rebuild in tests/test_incremental_compaction.py).
+    """
+    import json
+    from pathlib import Path
+
+    from ..operators.frames import IndexFrames
+    from ..operators.indexer import assign_dense_ids
+
+    root = Path(index_dir) / "inc"
+    root.mkdir(parents=True, exist_ok=True)
+    state_path = root / "state.json"
+    state = (
+        json.loads(state_path.read_text())
+        if state_path.exists()
+        else {
+            "last_batch_id": -1,
+            "next_docid": 1,
+            "segments": 0,
+            "n_docs": 0,
+            "total_doc_len": 0,
+        }
+    )
+    mpath = Path(index_dir) / "stream_manifest.json"
+    manifest = (
+        json.loads(mpath.read_text())
+        if mpath.exists()
+        else {"flags": {"stem_stop": True, "compression": False,
+                        "max_score": True}}
+    )
+
+    staged = spark.read.parquet(f"{index_dir}/stage_stream")
+    delta = staged.filter(F.col("batch_id") > state["last_batch_id"])
+    n_seg = state["segments"]
+    new_batch_row = delta.agg(
+        F.max("batch_id").alias("mb"), F.count("*").alias("cnt")
+    ).collect()[0]
+    if new_batch_row["cnt"] > 0:
+        sid = n_seg
+        # within the delta, a pid's LATEST batch wins
+        latest = delta.groupBy("pid").agg(F.max("batch_id").alias("batch_id"))
+        cur = delta.join(latest, ["pid", "batch_id"]).cache()
+
+        # tombstone base docs superseded by re-ingested pids; their
+        # terms join the touched set (doc rows carry a distinct-term
+        # array precisely so this needs NO docid-keyed postings scan)
+        base_docs = _inc_segs(spark, root, "docs", n_seg)
+        old_tombs = _inc_segs(spark, root, "tombstones", n_seg)
+        if base_docs is not None:
+            live_docs = base_docs
+            if old_tombs is not None:
+                live_docs = live_docs.join(old_tombs, "docid", "left_anti")
+            superseded = live_docs.join(
+                cur.select("pid").distinct(), "pid"
+            ).cache()
+        else:
+            superseded = None
+
+        delta_docs = cur.select("pid", "content_sha256", "doc_len").distinct()
+        with_ids = assign_dense_ids(
+            delta_docs, ["pid"], "docid", start=state["next_docid"]
+        )
+        delta_terms = cur.groupBy("pid").agg(
+            F.collect_set("term").alias("terms")
+        )
+        doc_rows = with_ids.join(delta_terms, "pid").select(
+            "docid", "pid", "doc_len", "content_sha256", "terms"
+        )
+        doc_rows.write.mode("overwrite").parquet(str(root / "docs" / f"seg_{sid}"))
+        post_rows = cur.join(
+            spark.read.parquet(str(root / "docs" / f"seg_{sid}"))
+            .select("pid", "docid"),
+            "pid",
+        ).select("term", "docid", "tf", "doc_len")
+        post_rows.write.mode("overwrite").parquet(
+            str(root / "postings" / f"seg_{sid}")
+        )
+        tomb_rows = (
+            superseded.select("docid")
+            if superseded is not None
+            else spark.createDataFrame([], "docid long")
+        )
+        tomb_rows.write.mode("overwrite").parquet(
+            str(root / "tombstones" / f"seg_{sid}")
+        )
+
+        # touched terms: delta terms + tombstoned docs' terms
+        touched = cur.select("term").distinct()
+        if superseded is not None:
+            touched = touched.unionByName(
+                superseded.select(F.explode("terms").alias("term")).distinct()
+            ).distinct()
+        all_posts = _inc_segs(spark, root, "postings", sid + 1)
+        all_tombs = _inc_segs(spark, root, "tombstones", sid + 1)
+        live_posts = all_posts.join(all_tombs, "docid", "left_anti")
+        recomputed = _term_partials(live_posts.join(touched, "term"))
+        old_partials = (
+            spark.read.parquet(str(root / "partials" / f"seg_{n_seg - 1}"))
+            if n_seg > 0
+            else None
+        )
+        if old_partials is not None:
+            partials = old_partials.join(touched, "term", "left_anti").unionByName(
+                recomputed
+            )
+        else:
+            partials = recomputed
+        partials.write.mode("overwrite").parquet(
+            str(root / "partials" / f"seg_{sid}")
+        )
+
+        # running collection stats: O(delta) aggregates only
+        added = spark.read.parquet(str(root / "docs" / f"seg_{sid}")).agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("dl")
+        ).collect()[0]
+        removed = (
+            superseded.agg(
+                F.count("*").alias("n"), F.sum("doc_len").alias("dl")
+            ).collect()[0]
+            if superseded is not None
+            else None
+        )
+        state["n_docs"] += int(added["n"]) - (int(removed["n"]) if removed else 0)
+        state["total_doc_len"] += int(added["dl"] or 0) - (
+            int(removed["dl"] or 0) if removed else 0
+        )
+        state["next_docid"] += int(added["n"])
+        state["last_batch_id"] = int(new_batch_row["mb"])
+        state["segments"] = sid + 1
+        state_path.write_text(json.dumps(state, indent=2))  # commit point
+        cur.unpersist()
+        if superseded is not None:
+            superseded.unpersist()
+
+    # ---- serve the committed state --------------------------------------
+    n_seg = state["segments"]
+    docs = _inc_segs(spark, root, "docs", n_seg)
+    tombs = _inc_segs(spark, root, "tombstones", n_seg)
+    posts = _inc_segs(spark, root, "postings", n_seg)
+    if docs is None:
+        raise ValueError("no compacted segments and no staged batches")
+    if tombs is not None:
+        docs = docs.join(tombs, "docid", "left_anti")
+        posts = posts.join(tombs, "docid", "left_anti")
+    doc_stats = docs.select("docid", "pid", "doc_len", "content_sha256")
+    n_docs, total_doc_len = state["n_docs"], state["total_doc_len"]
+    avgdl = total_doc_len / n_docs
+    partials = spark.read.parquet(str(root / "partials" / f"seg_{n_seg - 1}"))
+    lexicon = derive_lexicon(partials, n_docs, avgdl)
+    stats = {
+        "n_docs": int(n_docs),
+        "total_doc_len": int(total_doc_len),
+        "avg_doc_len": avgdl,
+        "n_terms": None,
+    }
+    return IndexFrames(
+        spark,
+        doc_stats,
+        posts,
+        lexicon,
+        spark.createDataFrame(
+            [], "term string, block_id long, max_docid long, num_postings long"
+        ),
+        stats,
+        manifest,
+    )
+
+
 def compact(spark: SparkSession, index_dir: str):
     """Fold staged streaming blocks into a servable in-memory index:
     doc stats + postings + lexicon over everything ingested so far.
