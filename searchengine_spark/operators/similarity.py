@@ -157,32 +157,88 @@ def cosine_neardup_pairs(
     )
 
 
+def learned_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse centroids learned with seeded pyspark.ml KMeans over
+    UNIT-NORMALIZED vectors (euclidean argmin on the unit sphere ==
+    cosine argmax, so the learned cells match the engine's cosine
+    assignment). Returns the tiny broadcastable (cent_id, cemb) table —
+    the production replacement for the deterministic lowest-id seeding
+    that the SQL oracle uses; the search join shape is IDENTICAL."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(as_double(F.col(vec_col)).alias("emb"))
+    unit = v.select(
+        F.transform(
+            F.col("emb"), lambda x: x / norm(F.col("emb"))
+        ).alias("uemb")
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="fv")
+    model = km.fit(unit.select(array_to_vector("uemb").alias("fv")))
+    spark = vectors.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cent_id long, cemb array<double>")
+
+
+def _centroid_table(
+    vectors: DataFrame,
+    n_centroids: int,
+    centroids,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Resolve the centroid spec: "ids" (deterministic lowest-id
+    vectors — the oracle configuration), "kmeans" (learned), or a
+    user-supplied (cent_id, cemb) DataFrame."""
+    if isinstance(centroids, DataFrame):
+        return centroids
+    if centroids == "kmeans":
+        return learned_centroids(vectors, n_centroids, id_col=id_col, vec_col=vec_col)
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+    )
+    return v.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+
+
 def ivf_cells(
     vectors: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids="ids",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest of
-    ``n_centroids`` centroids (cosine, ties to the lower centroid id).
+    """IVF coarse quantization: assign every vector to its ``n_probe``
+    nearest of ``n_centroids`` centroids (cosine, ties to the lower
+    centroid id); ``cell_rank`` 1..n_probe marks the home cell vs the
+    extra probe cells.
 
-    Deterministic seeding — the centroids are the vectors with the
-    ``n_centroids`` smallest ids — so the assignment is reproducible
-    and exactly SQL-oracle-checkable; a production index would learn
-    the centroids (k-means over a sample, pyspark.ml KMeans) and reuse
-    THE SAME join shape: the centroid table stays tiny and broadcast,
-    the N-row assignment scan is embarrassingly parallel (no shuffle),
-    and only the per-cell search shuffles, keyed by cell id.
-    Cosines round to {ROUND} decimals before the argmax so the
+    ``centroids="ids"`` (default) keeps the deterministic seeding — the
+    centroids are the vectors with the smallest ids — so the assignment
+    is reproducible and exactly SQL-oracle-checkable; ``"kmeans"``
+    learns them (seeded pyspark.ml KMeans over a normalized sample) and
+    reuses THE SAME join shape: the centroid table stays tiny and
+    broadcast, the N-row assignment scan is embarrassingly parallel
+    (no shuffle), and only the per-cell search shuffles, keyed by cell
+    id. Cosines round to {ROUND} decimals before the argmax so the
     assignment can't flip on cross-engine float summation order.
     """
     v = vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         as_double(F.col(vec_col)).alias("emb"),
     )
-    c = v.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
-    )
+    c = _centroid_table(vectors, n_centroids, centroids, id_col, vec_col)
     scored = v.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "emb",
@@ -194,8 +250,13 @@ def ivf_cells(
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "vec_id",
+            "emb",
+            F.col("cent_id").alias("cell"),
+            F.col("rn").alias("cell_rank"),
+        )
     )
 
 
@@ -234,6 +295,50 @@ def ann_ivf_top1(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("query_id", "cell", "neighbor_id", "cosine")
+    )
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    k: int = 1,
+    n_centroids: int = 16,
+    n_probe: int = 1,
+    centroids="ids",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with multi-cell probing: each query searches its
+    ``n_probe`` nearest cells; candidates are indexed by their HOME
+    cell only, so a (query, neighbor) pair appears at most once and
+    recall rises monotonically with n_probe at proportional join cost
+    (Jégou et al., TPAMI 2011 — the coarse-quantizer probe trade).
+    Returns (query_id, neighbor_id, cosine, rank<=k)."""
+    cells = ivf_cells(
+        vectors, n_centroids, id_col, vec_col,
+        centroids=centroids, n_probe=n_probe,
+    )
+    home = cells.filter(F.col("cell_rank") == 1)
+    a = cells.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "cell"
+    )
+    b = home.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"), "cell"
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qemb"), F.col("nemb")), ROUND).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -363,6 +468,40 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, cell, neighbor_id, cosine FROM ranked WHERE rn = 1
+""",
+)
+
+register(
+    "ann_ivf_probe2",
+    lambda spark, sf_dir: ann_ivf_topk(_emb(spark, sf_dir), k=1, n_probe=2),
+    f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < 16),
+ass AS (
+  SELECT v.vec_id, v.emb, c.cent_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_cosine_similarity(v.emb, c.cemb), {ROUND})
+             DESC, c.cent_id ASC) AS rn
+  FROM v CROSS JOIN c
+),
+home AS (SELECT vec_id, emb, cent_id AS cell FROM ass WHERE rn = 1),
+probe AS (SELECT vec_id, emb, cent_id AS cell FROM ass WHERE rn <= 2),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.emb, b.emb), {ROUND}) AS cosine
+  FROM probe a JOIN home b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 1
 """,
 )
 

@@ -320,6 +320,78 @@ def test_auto_guard_from_lexicon(spark):
 
 
 # ---------------------------------------------------------------------------
+# learned IVF centroids + multi-cell probing
+# ---------------------------------------------------------------------------
+
+
+def test_learned_ivf_recall_and_probe_monotonicity(spark):
+    """KMeans-learned centroids with n_probe probing: candidate recall
+    over the TRUE near-dup pairs (exact cosine >= threshold) must be
+    monotone in n_probe and non-trivial at n_probe=2; the learned
+    table is deterministic under the seed."""
+    from searchengine_spark.operators.similarity import (
+        NEARDUP_COSINE,
+        cosine_neardup_pairs,
+        ivf_cells,
+        learned_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(emb, NEARDUP_COSINE).collect()
+    }
+    assert truth  # the synthetic embeddings really have near pairs
+
+    cents = learned_centroids(emb, n_centroids=8)
+    again = learned_centroids(emb, n_centroids=8)
+    assert sorted(map(tuple, cents.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+    def pair_recall(n_probe: int) -> float:
+        cells = ivf_cells(
+            emb, n_centroids=8, centroids=cents, n_probe=n_probe
+        )
+        home = cells.filter(F.col("cell_rank") == 1).select(
+            F.col("vec_id").alias("nb"), "cell"
+        )
+        probe = cells.select(F.col("vec_id").alias("qy"), "cell")
+        cand = {
+            (min(r["qy"], r["nb"]), max(r["qy"], r["nb"]))
+            for r in probe.join(home, "cell")
+            .filter(F.col("qy") != F.col("nb"))
+            .collect()
+        }
+        return len(truth & cand) / len(truth)
+
+    r1, r2 = pair_recall(1), pair_recall(2)
+    assert r2 >= r1
+    assert r2 >= 0.6, (r1, r2)
+
+
+def test_ann_ivf_topk_probe1_matches_top1(spark):
+    """ann_ivf_topk(k=1, n_probe=1, 'ids') must agree with the gate's
+    ann_ivf_top1 on (query, neighbor, cosine) — same cells, same rank
+    rule, new probing surface."""
+    from searchengine_spark.operators.similarity import (
+        ann_ivf_top1,
+        ann_ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ann_ivf_top1(emb).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ann_ivf_topk(emb, k=1, n_probe=1).collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r2 fixes
 # ---------------------------------------------------------------------------
 
