@@ -451,3 +451,39 @@ def test_read_stage_empty_probe_keeps_default(spark, tmp_path):
         pass
     after = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# JVM-side dense-id stamp (no Arrow round trip of token arrays)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("offset_map_max", [4096, 0])
+def test_dense_ids_jvm_stamp_both_lookup_paths(
+    spark, monkeypatch, offset_map_max
+):
+    """ids are 1..N in ORDER BY pid through both the codegen map-literal
+    lookup and the many-partition broadcast-join fallback
+    (offset_map_max=0 forces the join path)."""
+    import searchengine_spark.operators.indexer as ix
+
+    monkeypatch.setattr(ix, "_OFFSET_MAP_MAX", offset_map_max)
+    docs = _random_docs(spark, n_docs=120, seed=11)
+    out = ix.assign_dense_ids(docs, ["pid"], "docid", start=3,
+                              num_partitions=7)
+    rows = sorted(out.select("pid", "docid").collect(), key=lambda r: r.pid)
+    assert [r.docid for r in rows] == list(range(3, 3 + len(rows)))
+    ix._release_persisted()
+
+
+def test_dense_ids_stamp_plan_has_no_python_stage(spark):
+    """The stamp must stay JVM-side: no ArrowEvalPython/MapInPandas node
+    in the physical plan (the Arrow round trip of token-array rows was
+    the doc_stats stage's dominant cost at 2M docs)."""
+    import searchengine_spark.operators.indexer as ix
+
+    docs = _random_docs(spark, n_docs=40, seed=13)
+    out = ix.assign_dense_ids(docs, ["pid"], "docid", num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    ix._release_persisted()
