@@ -75,15 +75,53 @@ def tokenized_docs(docs: DataFrame, stem_stop: bool) -> DataFrame:
     )
 
 
+def term_tf_entries(tokens) -> F.Column:
+    """``array<struct<term,tf>>`` of distinct non-blank tokens with
+    counts, computed as run lengths of the sorted token array — pure
+    JVM, O(len·log len) per row, and crucially NO shuffle: every
+    (term, docid) pair lives entirely inside its own row, so the
+    explode + groupBy formulation shuffles already-complete partial
+    aggregates just to merge nothing. At full corpus scale that was an
+    entire corpus-sized shuffle in the SPIMI stage
+    (= updateOrAddPosting, Spimi.java:195-212, which is likewise a
+    per-document in-memory counter)."""
+    st = F.array_sort(F.filter(tokens, lambda t: t != F.lit("")))
+    n = F.size(st)
+    # 0-based indices where a new run (distinct term) starts
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0))
+        | (F.element_at(st, i + 1) != F.element_at(st, i)),
+    )
+    # each run's end = the next run's start (sentinel: array length)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n),
+    )
+    entries = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.element_at(st, s + 1).alias("term"),
+            (e - s).cast("int").alias("tf"),
+        ),
+    )
+    empty = F.array().cast("array<struct<term:string,tf:int>>")
+    # CASE WHEN is lazy per-branch: n == 0 never evaluates sequence(0,-1)
+    return F.when(n > 0, entries).otherwise(empty)
+
+
 def postings_frame(doc_tokens: DataFrame) -> DataFrame:
-    """(term, docid, tf, doc_len) via explode + spillable hash agg
-    (= SPIMI updateOrAddPosting, Spimi.java:195-212). Blank tokens
-    count toward doc_len but emit no posting (Spimi.java:264,282-286)."""
-    return (
-        doc_tokens.select("docid", "doc_len", F.explode("tokens").alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("term", "docid", "doc_len")
-        .agg(F.count("*").cast("int").alias("tf"))
+    """(term, docid, tf, doc_len) — blank tokens count toward doc_len
+    but emit no posting (Spimi.java:264,282-286); all-blank docs emit
+    no rows (explode of the empty entries array drops the row)."""
+    return doc_tokens.select(
+        "docid", "doc_len", F.explode(term_tf_entries(F.col("tokens"))).alias("e")
+    ).select(
+        F.col("e.term").alias("term"),
+        "docid",
+        "doc_len",
+        F.col("e.tf").cast("int").alias("tf"),
     )
 
 

@@ -783,12 +783,21 @@ def build_index(
         stage_dir = root / "stage_postings"
         if not _stage_done(stage_dir):
             t0 = time.time()
+            from .frames import term_tf_entries
+
             dt = _read_stage(spark, root / "doc_tokens", min_splits)
-            postings = (
-                dt.select("docid", "doc_len", F.explode("tokens").alias("term"))
-                .filter(F.col("term") != "")  # blank tokens: no postings (Spimi.java:282-286)
-                .groupBy("term", "docid", "doc_len")
-                .agg(F.count("*").alias("tf"))  # spillable partial+final hash agg = SPIMI
+            # narrow per-row run-length tf (term_tf_entries): a
+            # (term, docid) pair never spans rows, so no shuffle —
+            # the SPIMI stage is scan -> JVM sort/count -> write
+            postings = dt.select(
+                "docid",
+                "doc_len",
+                F.explode(term_tf_entries(F.col("tokens"))).alias("e"),
+            ).select(
+                F.col("e.term").alias("term"),
+                "docid",
+                "doc_len",
+                F.col("e.tf").cast("long").alias("tf"),
             )
             postings.write.mode("overwrite").parquet(str(stage_dir))
             record("stage_postings", t0)

@@ -42,16 +42,21 @@ def batch_postings(docs: DataFrame, stem_stop: bool = True) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         tokens_col(F.col("content"), stem_stop).alias("tokens"),
     ).filter(F.size("tokens") > 0)
-    return (
-        toks.select(
-            "pid",
-            "content_sha256",
-            F.size("tokens").cast("long").alias("doc_len"),
-            F.explode("tokens").alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("pid", "content_sha256", "doc_len", "term")
-        .agg(F.count("*").cast("int").alias("tf"))
+    from ..operators.frames import term_tf_entries
+
+    # narrow per-row run-length tf: no shuffle per micro-batch (a
+    # groupBy here would force a stateless shuffle on every trigger)
+    return toks.select(
+        "pid",
+        "content_sha256",
+        F.size("tokens").cast("long").alias("doc_len"),
+        F.explode(term_tf_entries(F.col("tokens"))).alias("e"),
+    ).select(
+        "pid",
+        "content_sha256",
+        "doc_len",
+        F.col("e.term").alias("term"),
+        F.col("e.tf").cast("int").alias("tf"),
     )
 
 

@@ -487,3 +487,54 @@ def test_dense_ids_stamp_plan_has_no_python_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "EvalPython" not in plan
     ix._release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# narrow SPIMI tf (run-length over sorted tokens; no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def test_term_tf_entries_equals_explode_groupby(spark):
+    """Run-length tf over the sorted token array must be row-for-row
+    identical to the explode + groupBy formulation it replaced,
+    including the blank-token rules (count toward doc_len, no posting;
+    all-blank docs emit nothing)."""
+    from searchengine_spark.operators.frames import postings_frame
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(80):
+        toks = rng.choices(VOCAB + [""], k=rng.randint(1, 30))
+        rows.append((i + 1, len(toks), toks))
+    rows.append((200, 3, ["", "", ""]))  # all-blank: doc_len 3, no postings
+    dt = spark.createDataFrame(
+        rows, "docid long, doc_len long, tokens array<string>"
+    )
+    got = sorted(
+        postings_frame(dt).collect(),
+        key=lambda r: (r.term, r.docid),
+    )
+    want = sorted(
+        dt.select("docid", "doc_len", F.explode("tokens").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "docid", "doc_len")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "docid", "doc_len", "tf")
+        .collect(),
+        key=lambda r: (r.term, r.docid),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert not any(r.docid == 200 for r in got)
+
+
+def test_postings_frame_plan_has_no_shuffle(spark):
+    """A (term, docid) pair never spans input rows, so the SPIMI tf
+    stage must be narrow: no Exchange in the physical plan."""
+    from searchengine_spark.operators.frames import postings_frame
+
+    dt = spark.createDataFrame(
+        [(1, 3, ["a", "b", "a"])],
+        "docid long, doc_len long, tokens array<string>",
+    )
+    plan = postings_frame(dt)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
