@@ -75,53 +75,80 @@ def tokenized_docs(docs: DataFrame, stem_stop: bool) -> DataFrame:
     )
 
 
-def term_tf_entries(tokens) -> F.Column:
-    """``array<struct<term,tf>>`` of distinct non-blank tokens with
-    counts, computed as run lengths of the sorted token array — pure
-    JVM, O(len·log len) per row, and crucially NO shuffle: every
-    (term, docid) pair lives entirely inside its own row, so the
-    explode + groupBy formulation shuffles already-complete partial
-    aggregates just to merge nothing. At full corpus scale that was an
-    entire corpus-sized shuffle in the SPIMI stage
-    (= updateOrAddPosting, Spimi.java:195-212, which is likewise a
-    per-document in-memory counter)."""
-    st = F.array_sort(F.filter(tokens, lambda t: t != F.lit("")))
-    n = F.size(st)
-    # 0-based indices where a new run (distinct term) starts
+def exploded_term_tf(
+    doc_tokens: DataFrame, keep_cols: list[str], tokens: str = "tokens"
+) -> DataFrame:
+    """``(*keep_cols, term, tf int)``: per-row term frequencies as run
+    lengths of the sorted token array — pure JVM, O(len·log len) per
+    row, and crucially NO shuffle: every (term, docid) pair lives
+    entirely inside its own row, so the explode + groupBy formulation
+    shuffles already-complete partial aggregates just to merge nothing.
+    At full corpus scale that was an entire corpus-sized shuffle in the
+    SPIMI stage (= updateOrAddPosting, Spimi.java:195-212, likewise a
+    per-document in-memory counter).
+
+    Each intermediate (sorted array, run starts) is materialized as its
+    own projection column, NOT nested into one expression: Catalyst
+    inlines duplicated subtrees when a single projection references
+    them repeatedly, which re-evaluated ``array_sort`` per element and
+    ran ~75x SLOWER than the groupBy it replaces (measured 357 s vs
+    6.8 s at 200k docs; this chained form: 2.7 s). SPARK-36718 keeps
+    multi-referenced expensive expressions in separate projections.
+
+    Blank tokens emit no entry (they still count toward doc_len,
+    Spimi.java:264,282-286); all-blank docs emit no rows (``zip_with``
+    pads to the longer array, so the empty case must short-circuit
+    before it fabricates a null run)."""
+    st = F.array_sort(F.filter(F.col(tokens), lambda t: t != F.lit("")))
+    d = doc_tokens.withColumn("__st", st).withColumn("__n", F.size("__st"))
+    # 0-based indices where a new run (distinct term) starts; CASE WHEN
+    # is lazy per-branch, so n == 0 never evaluates sequence(0, -1)
     starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
+        F.sequence(F.lit(0), F.col("__n") - 1),
         lambda i: (i == F.lit(0))
-        | (F.element_at(st, i + 1) != F.element_at(st, i)),
+        | (
+            F.element_at(F.col("__st"), i + 1)
+            != F.element_at(F.col("__st"), i)
+        ),
+    )
+    d = d.withColumn(
+        "__starts",
+        F.when(F.col("__n") > 0, starts).otherwise(
+            F.array().cast("array<int>")
+        ),
     )
     # each run's end = the next run's start (sentinel: array length)
     ends = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(n),
+        F.slice(
+            F.col("__starts"),
+            2,
+            F.greatest(F.size(F.col("__starts")) - 1, F.lit(0)),
+        ),
+        F.array(F.col("__n")),
     )
     entries = F.zip_with(
-        starts,
+        F.col("__starts"),
         ends,
         lambda s, e: F.struct(
-            F.element_at(st, s + 1).alias("term"),
+            F.element_at(F.col("__st"), s + 1).alias("term"),
             (e - s).cast("int").alias("tf"),
         ),
     )
-    empty = F.array().cast("array<struct<term:string,tf:int>>")
-    # CASE WHEN is lazy per-branch: n == 0 never evaluates sequence(0,-1)
-    return F.when(n > 0, entries).otherwise(empty)
+    guarded = F.when(F.col("__n") > 0, entries).otherwise(
+        F.array().cast("array<struct<term:string,tf:int>>")
+    )
+    return d.select(*keep_cols, F.explode(guarded).alias("__e")).select(
+        *keep_cols,
+        F.col("__e.term").alias("term"),
+        F.col("__e.tf").alias("tf"),
+    )
 
 
 def postings_frame(doc_tokens: DataFrame) -> DataFrame:
-    """(term, docid, tf, doc_len) — blank tokens count toward doc_len
-    but emit no posting (Spimi.java:264,282-286); all-blank docs emit
-    no rows (explode of the empty entries array drops the row)."""
-    return doc_tokens.select(
-        "docid", "doc_len", F.explode(term_tf_entries(F.col("tokens"))).alias("e")
-    ).select(
-        F.col("e.term").alias("term"),
-        "docid",
-        "doc_len",
-        F.col("e.tf").cast("int").alias("tf"),
+    """(term, docid, doc_len, tf) — blank tokens count toward doc_len
+    but emit no posting; all-blank docs emit no rows."""
+    return exploded_term_tf(doc_tokens, ["docid", "doc_len"]).select(
+        "term", "docid", "doc_len", F.col("tf").cast("int").alias("tf")
     )
 
 

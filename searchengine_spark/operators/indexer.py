@@ -783,21 +783,17 @@ def build_index(
         stage_dir = root / "stage_postings"
         if not _stage_done(stage_dir):
             t0 = time.time()
-            from .frames import term_tf_entries
+            from .frames import exploded_term_tf
 
             dt = _read_stage(spark, root / "doc_tokens", min_splits)
-            # narrow per-row run-length tf (term_tf_entries): a
+            # narrow per-row run-length tf (exploded_term_tf): a
             # (term, docid) pair never spans rows, so no shuffle —
             # the SPIMI stage is scan -> JVM sort/count -> write
-            postings = dt.select(
+            postings = exploded_term_tf(dt, ["docid", "doc_len"]).select(
+                "term",
                 "docid",
                 "doc_len",
-                F.explode(term_tf_entries(F.col("tokens"))).alias("e"),
-            ).select(
-                F.col("e.term").alias("term"),
-                "docid",
-                "doc_len",
-                F.col("e.tf").cast("long").alias("tf"),
+                F.col("tf").cast("long").alias("tf"),
             )
             postings.write.mode("overwrite").parquet(str(stage_dir))
             record("stage_postings", t0)

@@ -42,21 +42,19 @@ def batch_postings(docs: DataFrame, stem_stop: bool = True) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         tokens_col(F.col("content"), stem_stop).alias("tokens"),
     ).filter(F.size("tokens") > 0)
-    from ..operators.frames import term_tf_entries
+    from ..operators.frames import exploded_term_tf
 
     # narrow per-row run-length tf: no shuffle per micro-batch (a
     # groupBy here would force a stateless shuffle on every trigger)
-    return toks.select(
-        "pid",
-        "content_sha256",
-        F.size("tokens").cast("long").alias("doc_len"),
-        F.explode(term_tf_entries(F.col("tokens"))).alias("e"),
+    toks = toks.withColumn("doc_len", F.size("tokens").cast("long"))
+    return exploded_term_tf(
+        toks, ["pid", "content_sha256", "doc_len"]
     ).select(
         "pid",
         "content_sha256",
         "doc_len",
-        F.col("e.term").alias("term"),
-        F.col("e.tf").cast("int").alias("tf"),
+        "term",
+        F.col("tf").cast("int").alias("tf"),
     )
 
 
