@@ -152,6 +152,74 @@ def postings_frame(doc_tokens: DataFrame) -> DataFrame:
     )
 
 
+def exploded_term_positions(
+    doc_tokens: DataFrame, keep_cols: list[str], tokens: str = "tokens"
+) -> DataFrame:
+    """``(*keep_cols, term, tf int, positions array<int>)``: per-row
+    positional postings (0-based offsets into the analyzed token
+    stream, blank tokens occupy a position but emit no entry) — the
+    positional twin of ``exploded_term_tf``, same narrow run-length
+    plan over ``array_sort(struct(term, pos))`` (sorts by term, then
+    pos, so each run's pos slice is already ascending), same
+    chained-column structure to keep every expensive intermediate
+    evaluated once, and the same guarantee: NO shuffle, because a
+    (term, docid) group never spans rows."""
+    with_pos = F.filter(
+        F.transform(
+            F.col(tokens),
+            lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("p")),
+        ),
+        lambda s: s["t"] != F.lit(""),
+    )
+    d = doc_tokens.withColumn("__st", F.array_sort(with_pos)).withColumn(
+        "__n", F.size("__st")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda i: (i == F.lit(0))
+        | (
+            F.element_at(F.col("__st"), i + 1)["t"]
+            != F.element_at(F.col("__st"), i)["t"]
+        ),
+    )
+    d = d.withColumn(
+        "__starts",
+        F.when(F.col("__n") > 0, starts).otherwise(
+            F.array().cast("array<int>")
+        ),
+    )
+    ends = F.concat(
+        F.slice(
+            F.col("__starts"),
+            2,
+            F.greatest(F.size(F.col("__starts")) - 1, F.lit(0)),
+        ),
+        F.array(F.col("__n")),
+    )
+    entries = F.zip_with(
+        F.col("__starts"),
+        ends,
+        lambda s, e: F.struct(
+            F.element_at(F.col("__st"), s + 1)["t"].alias("term"),
+            (e - s).cast("int").alias("tf"),
+            F.transform(
+                F.slice(F.col("__st"), s + 1, e - s), lambda x: x["p"]
+            ).alias("positions"),
+        ),
+    )
+    guarded = F.when(F.col("__n") > 0, entries).otherwise(
+        F.array().cast(
+            "array<struct<term:string,tf:int,positions:array<int>>>"
+        )
+    )
+    return d.select(*keep_cols, F.explode(guarded).alias("__e")).select(
+        *keep_cols,
+        F.col("__e.term").alias("term"),
+        F.col("__e.tf").alias("tf"),
+        F.col("__e.positions").alias("positions"),
+    )
+
+
 def blocks_frame(postings: DataFrame) -> DataFrame:
     """Per-term sqrt block law + per-block max docid / posting count
     (VocabularyEntry.java:348-361; BlockDescriptor semantics) without a

@@ -241,33 +241,16 @@ def assign_dense_ids(
 
         pid_col = F.spark_partition_id().cast("long")
         local_ix = F.monotonically_increasing_id() - F.shiftleft(pid_col, 33)
-        if len(offsets) <= _OFFSET_MAP_MAX:
-            # map-literal lookup stays inside whole-stage codegen
-            pairs: list = []
-            for pid, off in offsets.items():
-                pairs.extend((F.lit(pid), F.lit(off)))
-            off_col = (
-                F.element_at(F.create_map(*pairs), pid_col.cast("int"))
-                if pairs
-                else F.lit(start)
-            )
-            stamped = part.withColumn(
-                id_col, (off_col + local_ix).cast("long")
-            )
-        else:
-            # 100 TB path: too many partitions for a literal map — tiny
-            # broadcast hash join on the partition id (narrow, no shuffle)
-            off_df = part.sparkSession.createDataFrame(
-                [(int(p), int(o)) for p, o in offsets.items()],
-                "__pid long, __off long",
-            )
-            stamped = (
-                part.withColumn("__pid", pid_col)
-                .withColumn("__lix", local_ix)
-                .join(F.broadcast(off_df), "__pid")
-                .withColumn(id_col, (F.col("__off") + F.col("__lix")).cast("long"))
-                .drop("__pid", "__off", "__lix")
-            )
+        stamped = _stamp_ids_from_offsets(
+            part.withColumn("__part", pid_col.cast("int")).withColumn(
+                "__lix", local_ix
+            ),
+            offsets,
+            key_col="__part",
+            local_col="__lix",
+            id_col=id_col,
+            start=start,
+        ).drop("__part", "__lix")
         # caller writes this to parquet next; keep the persist handle
         # alive via _PERSIST_HANDLES — the write re-reads cached blocks.
         return stamped
@@ -279,6 +262,86 @@ def assign_dense_ids(
 # above this many partitions the per-partition offset lookup switches
 # from a codegen'd map literal to a broadcast hash join (100 TB path)
 _OFFSET_MAP_MAX = 4096
+
+
+def _stamp_ids_from_offsets(
+    df: DataFrame,
+    offsets: dict[int, int],
+    key_col: str,
+    local_col: str,
+    id_col: str,
+    start: int = 1,
+) -> DataFrame:
+    """``id_col = offsets[key_col] + local_col`` — the dense-id stamp
+    given precomputed per-partition cumulative offsets. Map-literal
+    lookup (stays inside whole-stage codegen) below ``_OFFSET_MAP_MAX``
+    keys; a tiny broadcast hash join (narrow, no shuffle) above it."""
+    if len(offsets) <= _OFFSET_MAP_MAX:
+        pairs: list = []
+        for p, o in offsets.items():
+            pairs.extend((F.lit(int(p)), F.lit(int(o))))
+        off_col = (
+            F.element_at(F.create_map(*pairs), F.col(key_col).cast("int"))
+            if pairs
+            else F.lit(start)
+        )
+        return df.withColumn(
+            id_col, (off_col + F.col(local_col)).cast("long")
+        )
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        f"{key_col} int, __off long",
+    )
+    return (
+        df.join(F.broadcast(off_df), key_col)
+        .withColumn(id_col, (F.col("__off") + F.col(local_col)).cast("long"))
+        .drop("__off")
+    )
+
+
+def _doc_token_offsets(spark: SparkSession, root: Path) -> dict[int, int]:
+    """Per-partition cumulative docid offsets for the ``doc_tokens``
+    stage, persisted as ``doc_offsets.json`` beside it (recomputed from
+    the parquet's ``part_id`` column — a single RLE'd int column scan —
+    if the json is missing, e.g. on resume of an interrupted build)."""
+    p = root / "doc_offsets.json"
+    if p.exists():
+        return {int(k): int(v) for k, v in json.loads(p.read_text()).items()}
+    cnt = (
+        spark.read.parquet(str(root / "doc_tokens"))
+        .groupBy("part_id")
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 1
+    for r in sorted(cnt, key=lambda r: r["part_id"]):
+        offsets[int(r["part_id"])] = acc
+        acc += r["count"]
+    p.write_text(json.dumps(offsets))
+    return offsets
+
+
+def _doc_tokens_with_ids(
+    spark: SparkSession, root: Path, min_splits: int | None = None
+) -> DataFrame:
+    """Read the ``doc_tokens`` stage with dense docids attached from the
+    stored per-partition offsets (the ids are a pure function of
+    ``(part_id, local_ix)``, so they never need to be materialized in
+    the wide token parquet). Accepts the legacy layout (docid column
+    already present) unchanged."""
+    dt = (
+        _read_stage(spark, root / "doc_tokens", min_splits)
+        if min_splits is not None
+        else spark.read.parquet(str(root / "doc_tokens"))
+    )
+    if "docid" in dt.columns:  # legacy layout (pre-fused stage 1)
+        return dt
+    offsets = _doc_token_offsets(spark, root)
+    return _stamp_ids_from_offsets(
+        dt, offsets, key_col="part_id", local_col="local_ix",
+        id_col="docid",
+    ).drop("part_id", "local_ix")
 
 
 def _stage_done(path: Path) -> bool:
@@ -758,16 +821,30 @@ def build_index(
                 tokens_col(F.col("content"), cfg.stem_stop).alias("tokens"),
             ).filter(F.size("tokens") > 0)
 
-        with_ids = assign_dense_ids(
-            docs, ["pid"], "docid", start=1, num_partitions=n_part,
-            post_partition=analyze,
+        # ONE full pass: range shuffle + analysis + parquet write. No
+        # persist of the token arrays (columnar cache build of
+        # array<string> cost ~3x the analysis itself) and no separate
+        # count job: the write records (part_id, local_ix) instead of
+        # docid, the per-partition counts come from a single RLE'd int
+        # column scan of the output, and docid = offset[part_id] +
+        # local_ix is attached on every read (_doc_tokens_with_ids) —
+        # deterministic because the in-partition sort fixes row order.
+        part = (
+            docs.repartitionByRange(n_part, "pid")
+            if n_part
+            else docs.repartitionByRange("pid")
         )
-        with_ids.select(
-            "docid", "pid", F.size("tokens").alias("doc_len"),
-            "content_sha256", "tokens",
+        analyzed = analyze(part.sortWithinPartitions("pid"))
+        pid_col = F.spark_partition_id()
+        local_ix = F.monotonically_increasing_id() - F.shiftleft(
+            pid_col.cast("long"), 33
+        )
+        analyzed.select(
+            "pid", F.size("tokens").alias("doc_len"), "content_sha256",
+            "tokens", pid_col.alias("part_id"), local_ix.alias("local_ix"),
         ).write.mode("overwrite").parquet(str(root / "doc_tokens"))
-        # column-pruned re-read: only 4 narrow columns, not the token arrays
-        dt = spark.read.parquet(str(root / "doc_tokens"))
+        (root / "doc_offsets.json").unlink(missing_ok=True)
+        dt = _doc_tokens_with_ids(spark, root)  # computes + stores offsets
         dt.select("docid", "pid", "doc_len", "content_sha256").write.mode(
             "overwrite"
         ).parquet(str(doc_stats_dir))
@@ -785,7 +862,7 @@ def build_index(
             t0 = time.time()
             from .frames import exploded_term_tf
 
-            dt = _read_stage(spark, root / "doc_tokens", min_splits)
+            dt = _doc_tokens_with_ids(spark, root, min_splits)
             # narrow per-row run-length tf (exploded_term_tf): a
             # (term, docid) pair never spans rows, so no shuffle —
             # the SPIMI stage is scan -> JVM sort/count -> write
@@ -892,18 +969,15 @@ def build_index(
         pos_dir = root / "positions"
         if cfg.positions and not _stage_done(pos_dir):
             t0 = time.time()
-            dt = _read_stage(spark, root / "doc_tokens", min_splits)
-            pos = (
-                dt.select(
-                    "docid", "doc_len",
-                    F.posexplode("tokens").alias("pos", "term"),
-                )
-                .filter(F.col("term") != "")
-                .groupBy("term", "docid", "doc_len")
-                .agg(
-                    F.count("*").cast("int").alias("tf"),
-                    F.array_sort(F.collect_list("pos")).alias("positions"),
-                )
+            from .frames import exploded_term_positions
+
+            dt = _doc_tokens_with_ids(spark, root, min_splits)
+            # narrow per-row positional runs (exploded_term_positions):
+            # the only shuffle in this stage is the final (term, docid)
+            # range layout — the old posexplode + groupBy added a
+            # second, redundant full shuffle before it
+            pos = exploded_term_positions(dt, ["docid", "doc_len"]).select(
+                "term", "docid", "doc_len", "tf", "positions"
             )
             (
                 pos.repartitionByRange("term", "docid")

@@ -9,8 +9,8 @@ and classic phrase retrieval.
 * ``positions_frame``  — (term, docid, doc_len, tf, positions) where
   ``positions`` is the sorted 0-based token offsets of the term in the
   ANALYZED token sequence (Lucene-style: positions index the
-  post-analysis stream). Built by ``posexplode`` + one (term, docid)
-  aggregation — same shuffle shape as the tf postings. The PERSISTED
+  post-analysis stream). Built by the narrow per-row run-length plan
+  (frames.exploded_term_positions — no shuffle). The PERSISTED
   twin is the build's stage 6 (indexer.build_index positions=True):
   identical rows, written (term, docid)-range-partitioned so a phrase
   query's per-term reads are term-pushdown contiguous scans, and
@@ -50,14 +50,12 @@ def positions_frame(doc_tokens: DataFrame) -> DataFrame:
     Blank tokens occupy a position (they count toward doc_len,
     Spimi.java:264) but emit no posting row — consistent with the tf
     postings (P8)."""
-    pos = doc_tokens.select(
-        "docid",
-        "doc_len",
-        F.posexplode("tokens").alias("pos", "term"),
-    ).filter(F.col("term") != "")
-    return pos.groupBy("term", "docid", "doc_len").agg(
-        F.count("*").cast("int").alias("tf"),
-        F.array_sort(F.collect_list("pos")).alias("positions"),
+    from .frames import exploded_term_positions
+
+    # narrow run-length plan — no shuffle (a (term, docid) group never
+    # spans rows); see frames.exploded_term_positions
+    return exploded_term_positions(doc_tokens, ["docid", "doc_len"]).select(
+        "term", "docid", "doc_len", "tf", "positions"
     )
 
 
