@@ -642,6 +642,123 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# mapInPandas output of the in-partition packer: packed rows carry the
+# codec columns (r_* null); residual rows carry one raw posting each
+# (codec columns null) for the tiny straddler shuffle
+_PACK_WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("block_id", T.LongType()),
+        T.StructField("num_postings", T.LongType()),
+        T.StructField("max_docid", T.LongType()),
+        T.StructField("docids_vb", T.BinaryType()),
+        T.StructField("tfs_unary", T.BinaryType()),
+        T.StructField("r_docid", T.LongType()),
+        T.StructField("r_tf", T.IntegerType()),
+    ]
+)
+
+
+def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shuffle-free packer: the postings stage is written
+    (term, docid)-range-partitioned and sorted, so every (term,
+    block_id) group occupies one contiguous run inside one file — a
+    group whose run lies strictly INSIDE this partition's chunk of a
+    file is complete here and packs locally; only the first and last
+    group of each file-chunk can straddle a partition/file boundary
+    and are emitted as raw residual rows for the (tiny) straddler
+    shuffle. The old formulation shuffled the ENTIRE posting set just
+    to co-locate groups that were already 99%+ co-located.
+
+    Byte identity with the per-group packer is guaranteed by sharing
+    its exact sort + codec calls per group."""
+    import numpy as np
+
+    parts = list(batches)
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    if pdf.empty:
+        return
+    files = pdf["__file"].to_numpy()
+    seg_starts = np.flatnonzero(np.r_[True, files[1:] != files[:-1]])
+    seg_ends = np.r_[seg_starts[1:] - 1, len(files) - 1]
+    resid_keys = set()
+    terms = pdf["term"].to_numpy()
+    bids = pdf["block_id"].to_numpy()
+    for s, e in zip(seg_starts, seg_ends):
+        resid_keys.add((terms[s], int(bids[s])))
+        resid_keys.add((terms[e], int(bids[e])))
+    packed = {
+        "term": [], "block_id": [], "num_postings": [], "max_docid": [],
+        "docids_vb": [], "tfs_unary": [],
+    }
+    resid_frames = []
+    for (term, bid), g in pdf.groupby(["term", "block_id"], sort=False):
+        if (term, int(bid)) in resid_keys:
+            resid_frames.append(g)
+            continue
+        g = g.sort_values("docid")  # identical to _pack_group
+        docids = g["docid"].to_numpy()
+        tfs = g["tf"].to_numpy()
+        packed["term"].append(term)
+        packed["block_id"].append(int(bid))
+        packed["num_postings"].append(len(docids))
+        packed["max_docid"].append(int(docids.max()))
+        packed["docids_vb"].append(vb_encode(gaps_encode(docids)))
+        packed["tfs_unary"].append(unary_encode(tfs))
+    if packed["term"]:
+        n = len(packed["term"])
+        yield pd.DataFrame(
+            {**packed, "r_docid": [None] * n, "r_tf": [None] * n}
+        )
+    if resid_frames:
+        r = pd.concat(resid_frames, ignore_index=True)
+        yield pd.DataFrame(
+            {
+                "term": r["term"],
+                "block_id": r["block_id"].astype("int64"),
+                "num_postings": pd.array([None] * len(r), dtype="Int64"),
+                "max_docid": pd.array([None] * len(r), dtype="Int64"),
+                "docids_vb": [None] * len(r),
+                "tfs_unary": [None] * len(r),
+                "r_docid": r["docid"].astype("int64"),
+                "r_tf": r["tf"].astype("int32"),
+            }
+        )
+
+
+def pack_postings(postings: DataFrame) -> DataFrame:
+    """(term, docid, tf, block_id) -> packed blocks, shuffle-free for
+    interior groups + a straddler-only shuffle (see _pack_partition).
+    The input must be the postings stage's on-disk layout (file rows
+    sorted by (term, docid)); any source where ``input_file_name`` is
+    empty degrades gracefully to one segment per partition."""
+    wide = postings.select(
+        "term",
+        "block_id",
+        "docid",
+        "tf",
+        F.xxhash64(F.input_file_name()).alias("__file"),
+    ).mapInPandas(_pack_partition, schema=_PACK_WIDE_SCHEMA)
+    wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+    resid = wide.filter(F.col("docids_vb").isNull()).select(
+        "term",
+        "block_id",
+        F.col("r_docid").alias("docid"),
+        F.col("r_tf").alias("tf"),
+    )
+    resid_packed = resid.groupBy("term", "block_id").applyInPandas(
+        _pack_group, schema=_PACK_SCHEMA
+    )
+    done = wide.filter(F.col("docids_vb").isNotNull()).select(
+        "term", "block_id", "num_postings", "max_docid",
+        "docids_vb", "tfs_unary",
+    )
+    _PERSIST_HANDLES.append(wide)
+    return done.unionByName(resid_packed)
+
+
 _UNPACK_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -955,10 +1072,12 @@ def build_index(
         if cfg.compression and not _stage_done(packed_dir):
             t0 = time.time()
             postings = _read_stage(spark, postings_dir, min_splits)
-            packed = postings.groupBy("term", "block_id").applyInPandas(
-                _pack_group, schema=_PACK_SCHEMA
+            # shuffle-free interior packing + straddler-only residual
+            # shuffle (pack_postings): the stage layout already
+            # co-locates 99%+ of every (term, block_id) group
+            pack_postings(postings).write.mode("overwrite").parquet(
+                str(packed_dir)
             )
-            packed.write.mode("overwrite").parquet(str(packed_dir))
             record("postings_packed", t0)
 
 

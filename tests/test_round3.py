@@ -538,3 +538,96 @@ def test_postings_frame_plan_has_no_shuffle(spark):
     )
     plan = postings_frame(dt)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# shuffle-free packed stage (in-partition pack + straddler residual)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_postings_bytes_equal_groupby_packer(spark, tmp_path):
+    """pack_postings (in-partition interior groups + straddler-only
+    residual shuffle) must produce byte-identical blocks to the
+    co-locating groupBy packer over a real multi-file postings stage,
+    including groups that straddle file boundaries."""
+    from searchengine_spark.operators.indexer import (
+        _PACK_SCHEMA,
+        _pack_group,
+        pack_postings,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    # heavy terms with many blocks so range files split groups mid-term
+    for t in ["alpha", "beta", "gamma"]:
+        for d in range(1, 900):
+            if rng.random() < 0.8:
+                rows.append((t, d, rng.randint(1, 5), (d * 7) % 40 + 1))
+    for t in VOCAB:
+        for d in rng.sample(range(1, 900), 30):
+            rows.append((t, d, 1, 11))
+    pf = spark.createDataFrame(
+        rows, "term string, docid long, tf int, doc_len long"
+    )
+    widths = (
+        pf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "max_per_block",
+            F.ceil(F.col("df") / F.ceil(F.sqrt(F.col("df")))).cast("long"),
+        )
+    )
+    from searchengine_spark.operators.indexer import _rank_within_groups
+
+    ranked = _rank_within_groups(
+        pf.join(widths.select("term", "max_per_block"), "term"),
+        "term", "docid", "posting_rank", num_partitions=7,
+    ).withColumn(
+        "block_id",
+        (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
+    ).select("term", "docid", "tf", "doc_len", "block_id")
+    stage = tmp_path / "postings"
+    ranked.write.mode("overwrite").parquet(str(stage))
+    on_disk = spark.read.parquet(str(stage))
+
+    new = {
+        (r["term"], r["block_id"]): (
+            r["num_postings"], r["max_docid"],
+            bytes(r["docids_vb"]), bytes(r["tfs_unary"]),
+        )
+        for r in pack_postings(on_disk).collect()
+    }
+    old = {
+        (r["term"], r["block_id"]): (
+            r["num_postings"], r["max_docid"],
+            bytes(r["docids_vb"]), bytes(r["tfs_unary"]),
+        )
+        for r in on_disk.groupBy("term", "block_id")
+        .applyInPandas(_pack_group, schema=_PACK_SCHEMA)
+        .collect()
+    }
+    assert new == old and len(new) > 50
+
+
+def test_pack_partition_map_stage_has_no_shuffle(spark, tmp_path):
+    """The interior-pack mapInPandas must read the stage without an
+    Exchange upstream (the residual straddler join is the only shuffle
+    in the packed stage's full plan)."""
+    from searchengine_spark.operators.indexer import (
+        _PACK_WIDE_SCHEMA,
+        _pack_partition,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1, 0)], "term string, docid long, tf int, block_id long"
+    )
+    p = tmp_path / "pp"
+    df.write.mode("overwrite").parquet(str(p))
+    wide = (
+        spark.read.parquet(str(p))
+        .select("term", "block_id", "docid", "tf",
+                F.xxhash64(F.input_file_name()).alias("__file"))
+        .mapInPandas(_pack_partition, schema=_PACK_WIDE_SCHEMA)
+    )
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
