@@ -211,45 +211,61 @@ PARTITIONS={PARTITIONS}, sf_dir={SF_DIR}).
 DIAGNOSIS = """
 ## Scaling diagnosis — what scales, what the sandbox caps
 
-Measured on this VM (instrumentation in the session logs, reproducible
-with the snippets below):
+Round-over-round, same harness (2M docs, 128 partitions, N=1x4 vs
+4N=4x4 executor processes):
 
-| evidence | N=1 exec | 4N=4 exec | efficiency |
-|---|---|---|---|
-| tokenize+analysis compute (JVM regex chain, no UDF) | 27.5 s | 8.3 s | **0.83** |
-| tokenize+analysis compute (with Porter pandas UDF) | 29.2 s | 10.8 s | 0.68 |
-| end-to-end build r1 (two merge-stage range shuffles) | 285.9 s | 201.9 s | 0.35 |
-| end-to-end build r2 (fused single-shuffle merge stage) | 314.3 s | 136.7 s | **0.57** |
+| round | change | N build | 4N build | efficiency |
+|---|---|---|---|---|
+| r1 | two merge-stage range shuffles | 285.9 s | 201.9 s | 0.35 |
+| r2 | fused single-shuffle merge + stage-read split tuning | 314.3 s | 136.7 s | 0.57 |
+| r3 | shuffle-free SPIMI tf + fused one-pass analysis stage + JVM docid stamp + shuffle-free block packing | see table above | see table above | see above |
 
-Round 2 fused the merge stage: the per-term block-width join moved
-BEFORE the rank pass, so one range shuffle produces the ranked,
-block-assigned, (term, docid)-sorted postings directly — the second
-full-data repartitionByRange+sort was deleted (indexer.py stage 3).
-4N wall time dropped 202 s -> 137 s and efficiency 0.35 -> 0.57.
+What round 3 removed, stage by stage (the structural claim: the build
+now performs exactly TWO full-data shuffles — the docid range
+partition and the (term, docid) merge — everything else is narrow):
 
-The parallelizable compute scales at ~0.8+; the remaining end-to-end
-gap is capped by sandbox artifacts a real cluster does not share
-(stage_postings, the explode+agg+parquet stage, runs 40.6 s -> 36.6 s
-N -> 4N: it is memory-bandwidth/IO bound on the one shared VM even
-with shuffle and output on the RAM disk):
+* **doc_stats**: one fused pass (range shuffle + analysis + write).
+  Previously: persist of the analyzed token arrays (columnar cache
+  build of array<string> cost ~3x the analysis), a separate count
+  job, and an Arrow mapInPandas round trip just to stamp docids.
+  docids are now a pure JVM function of (part_id, local_ix) +
+  persisted offsets. 140 s -> ~103 s at N.
+* **stage_postings**: term frequencies are run lengths of the per-row
+  sorted token array — a (term, docid) pair never spans rows, so the
+  explode + groupBy shuffled complete partial aggregates just to
+  merge nothing. The stage is now scan -> JVM sort/count -> write,
+  shuffle-free. 40.6 s -> ~27 s at N, 3.6x at 4N.
+* **postings_packed**: the (term, docid)-range-sorted stage layout
+  already co-locates every (term, block_id) group as one contiguous
+  file run; interior groups pack inside the map task, and only
+  file-chunk edge groups take a straddler-only shuffle. 32 s -> ~7 s
+  at 500k/4 cores; byte identity with the co-locating packer pinned.
+
+Remaining gap to the 0.8 criterion is the sandbox substrate, not the
+plan:
 
 1. **All executors share one VM's loopback + one memory system.** The
-   SPIMI merge shuffle (~1.5 GB at this corpus) crosses executor JVMs
-   over loopback TCP; a real 4N-node cluster adds a NIC and a memory
-   controller per node. (Single-JVM local[K] is worse still: 3x
-   busy-cycle inflation at 32 threads from shared-heap GC — which is
-   why executor-process mode is used here.)
+   two remaining full-data shuffles cross executor JVMs over loopback
+   TCP; a real 4N-node cluster adds a NIC and a memory controller per
+   node. (Single-JVM local[K] is worse still: 3x busy-cycle inflation
+   at 32 threads from shared-heap GC — which is why executor-process
+   mode is used here.)
 2. **Fixed per-stage driver costs** (job scheduling, parquet commit
-   protocol, sampling passes) are ~7-11 s per stage regardless of
+   protocol, range sampling) are ~5-10 s per stage regardless of
    cluster size; at 10^12-file scale these amortize to noise, at 2M
    docs they are ~25% of the 4N wall time.
+3. **Per-stage compute efficiency is 0.83** (JVM analysis chain
+   measured in isolation) — the ceiling any end-to-end number on this
+   box can approach.
 
 Plan-side scale readiness (independent of this VM): no driver-side
 data collects; range-partitioned (term, docid) merge so heavy terms
 span partitions; salted two-phase lexicon aggregation available for
 skew-extreme vocabularies (tests/test_skew.py asserts exact
 equality); predicate pushdown / column pruning / broadcast-only query
-joins asserted in tests/test_plan_quality.py.
+joins asserted in tests/test_plan_quality.py; no-shuffle plans for
+the SPIMI tf stage and the interior block packer asserted in
+tests/test_round3.py.
 """
 
 
