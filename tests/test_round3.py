@@ -631,3 +631,46 @@ def test_pack_partition_map_stage_has_no_shuffle(spark, tmp_path):
     )
     plan = wide._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_exploded_term_positions_equals_posexplode_groupby(spark):
+    """The narrow run-length positional plan must equal the
+    posexplode + groupBy formulation row-for-row: same terms, same tf,
+    same ascending position arrays; blank tokens occupy positions but
+    emit nothing; all-blank docs emit no rows."""
+    from searchengine_spark.operators.frames import exploded_term_positions
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(60):
+        toks = rng.choices(VOCAB[:6] + [""], k=rng.randint(1, 25))
+        rows.append((i + 1, len(toks), toks))
+    rows.append((100, 2, ["", ""]))
+    dt = spark.createDataFrame(
+        rows, "docid long, doc_len long, tokens array<string>"
+    )
+    got = sorted(
+        [
+            (r.term, r.docid, r.doc_len, r.tf, list(r.positions))
+            for r in exploded_term_positions(
+                dt, ["docid", "doc_len"]
+            ).collect()
+        ]
+    )
+    want = sorted(
+        [
+            (r.term, r.docid, r.doc_len, r.tf, list(r.positions))
+            for r in dt.select(
+                "docid", "doc_len", F.posexplode("tokens").alias("pos", "term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("term", "docid", "doc_len")
+            .agg(
+                F.count("*").cast("int").alias("tf"),
+                F.array_sort(F.collect_list("pos")).alias("positions"),
+            )
+            .collect()
+        ]
+    )
+    assert got == want
+    assert not any(r[1] == 100 for r in got)
