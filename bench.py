@@ -213,6 +213,19 @@ def main() -> None:
             "batch_queries_per_sec": round(50 / batch_sec, 1),
             "batch500_queries_per_sec": round(500 / batch500_sec, 1),
         }
+        # two-cluster-size evidence, measured separately by
+        # tools/scaling_run.py (local-cluster executor processes —
+        # local[K] threads under-report scaling); attach the latest
+        # recorded run so the per-round bench line carries it
+        scaling_path = (
+            Path(__file__).resolve().parent / "BENCH" / "scaling.json"
+        )
+        if scaling_path.exists():
+            s = json.loads(scaling_path.read_text())
+            out["scaling_efficiency_n_to_4n"] = s.get("efficiency")
+            out["scaling_docs_per_sec_4x4"] = (
+                s.get("levels", {}).get("4x4", {}).get("docs_per_sec")
+            )
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -147,6 +147,20 @@ def main() -> None:
     eff = (rn["build_sec"] / r4n["build_sec"]) / (LEVELS[1] // LEVELS[0])
     bench_dir = Path(__file__).resolve().parent.parent / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    # machine-readable twin of the table below; bench.py attaches it to
+    # its JSON line so the per-round bench record carries the
+    # two-cluster-size evidence
+    (bench_dir / "scaling.json").write_text(json.dumps({
+        "harness": "tools/scaling_run.py local-cluster (separate executor JVMs)",
+        "n_docs": rn["n_docs"],
+        "levels": {
+            f"{LEVELS[0]}x{CORES_PER_EXECUTOR}": rn,
+            f"{LEVELS[1]}x{CORES_PER_EXECUTOR}": r4n,
+        },
+        "speedup": round(rn["build_sec"] / r4n["build_sec"], 2),
+        "efficiency": round(eff, 2),
+        "criterion": ">= 0.8 between N and 4N executors",
+    }, indent=2))
     stage_table = "\n".join(
         f"| {k} | {rn['stages'].get(k, '-')} | {r4n['stages'].get(k, '-')} |"
         for k in rn["stages"]
