@@ -196,25 +196,20 @@ def minhash_signatures(
     return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
 
 
-def minhash_lsh_pairs(
+def band_signatures(
     df: DataFrame,
     n: int = 3,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
-    threshold: float = JACCARD_THRESHOLD,
     text_col: str = "text",
-    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs, verified with exact Jaccard.
-
-    Docs agreeing on all rows of at least one band become candidates
-    (bucket equi-join, the scale path); candidates then get the exact
-    shingle Jaccard and the threshold filter — so output = exact pairs
-    RESTRICTED to LSH-recalled candidates, matching the standard
-    MinHash-dedup pipeline."""
+    """(doc_id, band, band_key): each band's md5 over its
+    ``k // bands`` minhash rows in hash_idx order — the LSH bucket key.
+    Shared by the self-join dedup path and the cross-corpus
+    decontamination join."""
     rows_per_band = k // bands
     sig = minhash_signatures(df, n, k, text_col)
-    band_sig = (
+    return (
         sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("long"))
         .groupBy("doc_id", "band")
         .agg(
@@ -231,6 +226,25 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact Jaccard.
+
+    Docs agreeing on all rows of at least one band become candidates
+    (bucket equi-join, the scale path); candidates then get the exact
+    shingle Jaccard and the threshold filter — so output = exact pairs
+    RESTRICTED to LSH-recalled candidates, matching the standard
+    MinHash-dedup pipeline."""
+    band_sig = band_signatures(df, n, k, bands, text_col)
     a, b = band_sig.alias("a"), band_sig.alias("b")
     cands = (
         a.join(
@@ -283,6 +297,109 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus decontamination (train vs eval overlap)
+# ---------------------------------------------------------------------------
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    text_col: str = "text",
+) -> DataFrame:
+    """(train_doc_id, eval_doc_id, jaccard): training documents whose
+    shingle-set Jaccard against an evaluation document reaches the
+    threshold — the train/eval DECONTAMINATION join a pretraining
+    pipeline runs before training (eval-set look-alikes leak benchmark
+    answers; see GPT-3's n-gram decontamination, Brown et al. 2020
+    App. C, and Lee et al., "Deduplicating training data makes
+    language models better", ACL 2022).
+
+    Scale shape: banded MinHash BETWEEN the two tables — each side's
+    band signatures bucket-equi-join on (band, band_key); never a
+    train x eval cross join. Exact Jaccard verification is restricted
+    to the LSH candidates (output-sensitive, same contract as
+    minhash_lsh_pairs). The eval side is typically tiny vs the corpus
+    (thousands of benchmark rows vs 10^12 files), so AQE broadcasts
+    its signature and shingle frames."""
+    tb = band_signatures(train, n, k, bands, text_col)
+    eb = band_signatures(evalset, n, k, bands, text_col)
+    cands = (
+        tb.alias("t")
+        .join(
+            eb.alias("e"),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_doc_id"),
+            F.col("e.doc_id").alias("eval_doc_id"),
+        )
+        .distinct()
+    )
+    sht = _cached(shingles(train, n, text_col))
+    she = _cached(shingles(evalset, n, text_col))
+    szt = sht.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    sze = she.groupBy("doc_id").agg(F.count("*").alias("ne"))
+    inter = (
+        cands.join(
+            sht.select(F.col("doc_id").alias("train_doc_id"), "shingle"),
+            "train_doc_id",
+        )
+        .join(
+            she.select(
+                F.col("doc_id").alias("e_doc"),
+                F.col("shingle").alias("e_shingle"),
+            ),
+            (F.col("eval_doc_id") == F.col("e_doc"))
+            & (F.col("shingle") == F.col("e_shingle")),
+        )
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    st = szt.select(F.col("doc_id").alias("train_doc_id"), "nt")
+    se = sze.select(F.col("doc_id").alias("eval_doc_id"), "ne")
+    return (
+        inter.join(st, "train_doc_id")
+        .join(se, "eval_doc_id")
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("nt") + F.col("ne") - F.col("inter")).cast("double"),
+                ROUND,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate_corpus(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    text_col: str = "text",
+) -> DataFrame:
+    """The training corpus minus every row contaminated by the eval
+    set (left-anti on the contamination join's train ids)."""
+    bad = (
+        cross_corpus_contamination(
+            train, evalset, n, k, bands, threshold, text_col
+        )
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return train.join(bad, "doc_id", "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -477,6 +594,47 @@ WITH {_SHINGLES_CTE}, {_MINHASH_CTES}
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 WHERE j.jaccard >= {JACCARD_THRESHOLD}
+""",
+)
+
+# deterministic gate split: eval = doc_id % 10 == 3 (6 planted near-dup
+# pairs cross this split at sf0.01 — a non-trivial contamination set)
+_EVAL_MOD, _EVAL_REM = 10, 3
+
+
+def _q_decontaminate(spark, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    evalset = docs.filter(F.col("doc_id") % _EVAL_MOD == _EVAL_REM)
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != _EVAL_REM)
+    return cross_corpus_contamination(train, evalset)
+
+
+register(
+    "decontaminate_train",
+    _q_decontaminate,
+    f"""
+WITH {_SHINGLES_CTE}, {_MINHASH_CTES},
+xc AS (
+  SELECT DISTINCT a.doc_id AS train_doc_id, b.doc_id AS eval_doc_id
+  FROM bandsig a
+  JOIN bandsig b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+    AND b.doc_id % {_EVAL_MOD} = {_EVAL_REM}
+),
+xinter AS (
+  SELECT c.train_doc_id, c.eval_doc_id, count(*) AS i
+  FROM xc c
+  JOIN sh a ON a.doc_id = c.train_doc_id
+  JOIN sh b ON b.doc_id = c.eval_doc_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT train_doc_id, eval_doc_id,
+       round(CAST(i AS DOUBLE) / (st.n_sh + se.n_sh - i), {ROUND}) AS jaccard
+FROM xinter
+JOIN sz st ON st.doc_id = train_doc_id
+JOIN sz se ON se.doc_id = eval_doc_id
+WHERE round(CAST(i AS DOUBLE) / (st.n_sh + se.n_sh - i), {ROUND})
+      >= {JACCARD_THRESHOLD}
 """,
 )
 

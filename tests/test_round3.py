@@ -674,3 +674,67 @@ def test_exploded_term_positions_equals_posexplode_groupby(spark):
     )
     assert got == want
     assert not any(r[1] == 100 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_corpus_removes_exactly_contaminated(spark):
+    """decontaminate_corpus must drop exactly the train docs whose
+    Jaccard vs some eval doc reaches the threshold — including a
+    planted eval look-alike — and keep everything else."""
+    from searchengine_spark.operators.dedup import (
+        cross_corpus_contamination,
+        decontaminate_corpus,
+        release_caches,
+    )
+
+    rng = random.Random(17)
+    base = [
+        " ".join(rng.choices(VOCAB, k=20)) for _ in range(30)
+    ]
+    evalrows = [(1000 + i, t) for i, t in enumerate(base[:3])]
+    # train doc 0 is a verbatim copy of eval 1000; doc 1 a near-copy of
+    # eval 1001 (one word changed); the rest are unrelated
+    near = base[1].split()
+    near[5] = "changedword"
+    trainrows = [(0, base[0]), (1, " ".join(near))] + [
+        (i + 2, t) for i, t in enumerate(base[10:])
+    ]
+    train = spark.createDataFrame(trainrows, "doc_id long, text string")
+    evalset = spark.createDataFrame(evalrows, "doc_id long, text string")
+
+    pairs = cross_corpus_contamination(train, evalset, threshold=0.5)
+    got = {(r.train_doc_id, r.eval_doc_id) for r in pairs.collect()}
+    assert (0, 1000) in got
+    assert (1, 1001) in got
+    assert all(t in (0, 1) for t, _ in got)
+
+    kept = decontaminate_corpus(train, evalset, threshold=0.5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 not in kept_ids and 1 not in kept_ids
+    assert kept_ids == {r[0] for r in trainrows} - {0, 1}
+    release_caches()
+
+
+def test_decontamination_plan_has_no_cross_join(spark):
+    """The train x eval join must go through (band, band_key) buckets
+    and candidate-restricted shingle equi-joins — never a cartesian or
+    unkeyed nested-loop join between the corpora."""
+    from searchengine_spark.operators.dedup import (
+        cross_corpus_contamination,
+        release_caches,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evalset = docs.filter(F.col("doc_id") % 10 == 3)
+    train = docs.filter(F.col("doc_id") % 10 != 3)
+    plan = (
+        cross_corpus_contamination(train, evalset)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_caches()
