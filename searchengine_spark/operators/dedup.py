@@ -381,6 +381,47 @@ def cross_corpus_contamination(
     )
 
 
+def ngram_collision_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """(train_doc_id, eval_doc_id, n_collisions): EXACT shared word
+    n-grams between the corpora — the published GPT-3 decontamination
+    rule (13-gram collision, Brown et al. 2020 App. C), complementary
+    to the Jaccard join: it catches a long verbatim quote inside an
+    otherwise-different document, which set-level Jaccard dilutes.
+
+    Docs shorter than n tokens cannot contain an n-gram and are
+    excluded on both sides. Pure shingle equi-join — the n-gram key is
+    highly selective at n=13, so the join is output-sensitive."""
+    def side(df, id_alias, sh_alias):
+        toks = ws_tokens(F.col(text_col))
+        return (
+            df.filter(F.size(toks) >= n)
+            .select(
+                F.col("doc_id").cast("long").alias(id_alias),
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                            lambda i: F.array_join(F.slice(toks, i, n), " "),
+                        )
+                    )
+                ).alias(sh_alias),
+            )
+        )
+
+    t = side(train, "train_doc_id", "shingle")
+    e = side(evalset, "eval_doc_id", "e_shingle")
+    return (
+        t.join(e, F.col("shingle") == F.col("e_shingle"))
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").cast("long").alias("n_collisions"))
+    )
+
+
 def decontaminate_corpus(
     train: DataFrame,
     evalset: DataFrame,
@@ -607,6 +648,35 @@ def _q_decontaminate(spark, sf_dir: str) -> DataFrame:
     evalset = docs.filter(F.col("doc_id") % _EVAL_MOD == _EVAL_REM)
     train = docs.filter(F.col("doc_id") % _EVAL_MOD != _EVAL_REM)
     return cross_corpus_contamination(train, evalset)
+
+
+def _q_decontaminate_13gram(spark, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    evalset = docs.filter(F.col("doc_id") % _EVAL_MOD == _EVAL_REM)
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != _EVAL_REM)
+    return ngram_collision_pairs(train, evalset, n=13)
+
+
+register(
+    "decontaminate_13gram",
+    _q_decontaminate_13gram,
+    f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+sh13 AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i+12], ' ') AS shingle
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 12 + 1)) AS i) i
+  WHERE len(toks) >= 13
+)
+SELECT a.doc_id AS train_doc_id, b.doc_id AS eval_doc_id,
+       CAST(count(*) AS BIGINT) AS n_collisions
+FROM sh13 a JOIN sh13 b ON a.shingle = b.shingle
+WHERE a.doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+  AND b.doc_id % {_EVAL_MOD} = {_EVAL_REM}
+GROUP BY 1, 2
+""",
+)
 
 
 register(

@@ -336,4 +336,54 @@ WHERE quality_score >= 0.75
     )
 
 
+def _q_code_table_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule input shape end-to-end: synthesize the Iceberg
+    code table (repo, path, commit, lang, content) deterministically
+    from the gate corpus, adapt it with ``docs_from_code_table``
+    (pid = repo/path@commit truncated to 64), and run the doc-stats
+    pipeline — docids dense in pid order, per-row content sha256
+    lineage intact (the input_hint's per-row invariant)."""
+    from .frames import tokenized_docs
+    from .indexer import docs_from_code_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    code = docs.select(
+        F.concat(F.lit("repo"), (F.col("doc_id") % 7).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(
+            F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
+            "commit"
+        ),
+        F.lit("text").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    dt = tokenized_docs(docs_from_code_table(code), stem_stop=False)
+    return dt.select("docid", "pid", "doc_len", "content_sha256")
+
+
+register(
+    "code_table_doc_stats",
+    _q_code_table_doc_stats,
+    """
+WITH d0c AS (
+  SELECT substr('repo' || CAST(doc_id % 7 AS VARCHAR)
+                || '/' || 'src/f' || CAST(doc_id AS VARCHAR) || '.txt'
+                || '@' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                1, 64) AS pid,
+         text AS content
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY pid) AS BIGINT) AS docid,
+       pid,
+       CAST(len(string_split(content, ' ')) AS BIGINT) AS doc_len,
+       sha256(content) AS content_sha256
+FROM d0c
+WHERE len(string_split(content, ' ')) > 0
+""",
+)
+
+
 _register()
