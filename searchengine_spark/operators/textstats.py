@@ -170,6 +170,41 @@ def fingerprints(
     )
 
 
+REPETITION_NGRAM = 2
+REPETITION_MAX_DUP_FRACTION = 0.6
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = REPETITION_NGRAM,
+    max_dup_fraction: float = REPETITION_MAX_DUP_FRACTION,
+) -> DataFrame:
+    """Within-document repetition signal (the Gopher quality-filter
+    family, Rae et al. 2021 §A1.1: documents dominated by repeated
+    n-grams are low-quality boilerplate/spam): per doc, the fraction
+    of word n-grams that are duplicates of an earlier one, and a
+    ``repetitive`` flag at ``max_dup_fraction``. Pure JVM column
+    expressions — array slice windows + distinct count; no UDF, no
+    shuffle."""
+    toks = ws_tokens(F.col(text_col))
+    nn = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(nn - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    total = F.size(grams)
+    dup_frac = F.round(
+        (total - F.size(F.array_distinct(grams))).cast("double")
+        / total.cast("double"),
+        9,
+    )
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        total.cast("long").alias("n_ngrams"),
+        dup_frac.alias("dup_ngram_fraction"),
+        (dup_frac > max_dup_fraction).alias("repetitive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration (documents table) + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -182,6 +217,33 @@ def _docs(spark, sf_dir):
 def _markers_sql(markers: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
 
+
+register(
+    "text_repetition",
+    lambda spark, sf_dir: repetition_stats(_docs(spark, sf_dir)),
+    f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - {REPETITION_NGRAM - 1}, 1) AS BIGINT)
+           AS n_ngrams,
+         len(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {REPETITION_NGRAM - 1}, 1) + 1),
+           i -> array_to_string(toks[i:i+{REPETITION_NGRAM - 1}], ' ')
+         ))) AS n_distinct
+  FROM t
+)
+SELECT doc_id, n_ngrams,
+       round(CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams, 9)
+         AS dup_ngram_fraction,
+       (round(CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams, 9)
+        > {REPETITION_MAX_DUP_FRACTION}) AS repetitive
+FROM g
+""",
+)
 
 register(
     "text_token_counts",

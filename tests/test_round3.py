@@ -738,3 +738,21 @@ def test_decontamination_plan_has_no_cross_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_caches()
+
+
+def test_repetition_stats_flags_planted_boilerplate(spark):
+    """A doc that is one phrase repeated must flag repetitive; a
+    diverse doc must not; a doc shorter than the n-gram window uses
+    the whole text as its single gram."""
+    from searchengine_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, " ".join(["spam ham"] * 30)),       # 2-gram dup fraction ~1
+        (2, " ".join(VOCAB)),                    # all distinct
+        (3, "solo"),                             # shorter than window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].repetitive and got[1].dup_ngram_fraction > 0.9
+    assert not got[2].repetitive and got[2].dup_ngram_fraction == 0.0
+    assert got[3].n_ngrams == 1 and not got[3].repetitive
