@@ -539,6 +539,142 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the near-duplicate graph: every node is
+    labeled with the MINIMUM doc_id reachable from it (the canonical
+    cluster representative of the standard dedup keep-policy).
+
+    ``nodes``: one ``doc_id`` column (every document, so singletons get
+    ``cluster_id = doc_id``); ``edges``: ``(doc_a, doc_b)`` pairs from a
+    pair generator (`minhash_lsh_pairs`, `simhash_pairs`, ...).
+
+    Algorithm — iterated min-label propagation with pointer jumping
+    (the hash-to-min family: Rastogi et al., "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds", ICDE 2013; see
+    also Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014). Each round does
+
+    1. ``l(x) <- min(l(x), min over neighbors y of l(y))`` — one
+       edges-with-labels hash join + one groupBy min, and
+    2. a pointer jump ``l(x) <- l(l(x))`` — one labels self-join,
+
+    so label paths halve per round and convergence is O(log diameter)
+    rounds, not O(diameter) (near-dup chains in boilerplate-heavy
+    corpora can be long). Every round's frames are localCheckpointed to
+    cut the iterative lineage; convergence is detected by the strictly
+    decreasing label sum (labels only ever decrease), one tiny
+    aggregate per round — never a data collect.
+
+    Scale shape: per round, one shuffle of |edges| (output-sensitive —
+    the LSH candidate set, not |docs|^2) and two shuffles of |docs|
+    (doc_id, label) pairs; the whole loop is O(log d) such rounds.
+    """
+    sym = edges.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("cluster_id"),
+    ).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("nbr_lbl"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_lbl").alias("nbr_lbl"))
+        )
+        step = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_lbl"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jump: follow the label one hop (labels are node ids,
+        # so the lookup join always hits; coalesce guards the contract)
+        parent = step.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("jump_lbl"),
+        )
+        jumped = step.join(parent, "cluster_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("jump_lbl"), F.col("cluster_id")).alias(
+                "cluster_id"
+            ),
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(O(log diameter) expected — raise max_iter)"
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end fuzzy-dedup cluster assignment: MinHash-LSH verified
+    pairs -> connected components -> ``(doc_id, cluster_id)`` for EVERY
+    document (``cluster_id`` = min doc_id of the duplicate cluster;
+    singletons map to themselves). ``cluster_dedup_corpus`` keeps one
+    representative per cluster — the final stage of the standard
+    pretraining dedup pipeline (transitive closure matters: A~B and
+    B~C dedups {A,B,C} even when A~C is below threshold)."""
+    pairs = minhash_lsh_pairs(df, n, k, bands, threshold, text_col)
+    nodes = df.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return connected_components(nodes, pairs.select("doc_a", "doc_b"))
+
+
+def cluster_dedup_corpus(
+    df: DataFrame,
+    clusters: DataFrame,
+) -> DataFrame:
+    """Keep exactly one document (the min-doc_id representative) per
+    duplicate cluster: broadcast-free equi-join of the corpus with its
+    cluster assignment, filtered to ``doc_id == cluster_id``."""
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return df.join(keep, df["doc_id"].cast("long") == keep["doc_id"]).drop(
+        keep["doc_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate registration + DuckDB oracles
 # ---------------------------------------------------------------------------
 
@@ -753,5 +889,35 @@ WITH {_SIMHASH_CTES}
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM scands
 WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
+
+
+def _q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
+    return duplicate_clusters(_docs(spark, sf_dir))
+
+
+register(
+    "dedup_clusters",
+    _q_dedup_clusters,
+    f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_CTES},
+vpairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs
+),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.doc_id = s.dst
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
 """,
 )
