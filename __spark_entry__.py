@@ -71,11 +71,17 @@ def _frames(spark: SparkSession, sf_dir: str, with_blocks: bool = False):
 # Shared oracle CTE prefix (DuckDB SQL twin of frames.build_index_frames)
 # ---------------------------------------------------------------------------
 
-_BASE_CTES = """
+# default corpus adapter CTE: pid = zero-padded doc_id (see _docs);
+# base_ctes() lets other registrations (e.g. the code-table gates in
+# engine_extra) swap in a different pid derivation while reusing the
+# whole doc-stats/postings/lexicon pipeline SQL verbatim
+D0_CTE = """
 d0 AS (
   SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS pid, text AS content
   FROM documents
-),
+)"""
+
+_REST_CTES = """,
 ds AS (
   SELECT CAST(row_number() OVER (ORDER BY pid) AS BIGINT) AS docid,
          pid,
@@ -108,6 +114,13 @@ lex AS (
 """
 
 
+def base_ctes(d0_sql: str = D0_CTE) -> str:
+    return d0_sql + _REST_CTES
+
+
+_BASE_CTES = base_ctes()
+
+
 def _score_sql(scoring: str) -> str:
     """Per-posting partial score (Scorer.java:40-64): ltf = 1+log10(tf)."""
     ltf = "(1.0 + log10(CAST(p.tf AS DOUBLE)))"
@@ -126,15 +139,22 @@ def _values_terms(terms: list[str]) -> str:
     return f"(VALUES {rows}) AS q(term, tidx)"
 
 
-def _topk_sql(terms: list[str], scoring: str, conjunctive: bool, k: int) -> str:
+def _topk_sql(
+    terms: list[str],
+    scoring: str,
+    conjunctive: bool,
+    k: int,
+    ctes: str | None = None,
+) -> str:
     """Disjunctive = sum of per-term partials (DAAT.java:95-162);
     conjunctive adds HAVING count == |q| (DAAT.java:43-127). Partials
     are summed in query-term order (list_sum over an ordered list) to
     mirror the engine's ordered fold — float addition isn't
-    associative."""
+    associative. ``ctes`` swaps the corpus-adapter CTE prefix (see
+    base_ctes) so other input shapes reuse the same query SQL."""
     conj = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
     return f"""
-WITH {_BASE_CTES},
+WITH {ctes or _BASE_CTES},
 scored AS (
   SELECT p.docid, q.tidx, {_score_sql(scoring)} AS partial
   FROM p

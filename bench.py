@@ -168,6 +168,24 @@ def main() -> None:
         tq = time.time()
         minhash_lsh_pairs(docs_raw).count()
         timings["dedup_minhash_lsh"] = round(time.time() - tq, 3)
+
+        # full fuzzy-dedup close-out: LSH pairs -> connected components
+        from searchengine_spark.operators.dedup import duplicate_clusters
+
+        tq = time.time()
+        duplicate_clusters(docs_raw).count()
+        timings["dedup_cluster_cc"] = round(time.time() - tq, 3)
+
+        # sequence packing: distributed prefix sum over token counts
+        from searchengine_spark.operators.curation import pack_sequences
+
+        counts = docs_raw.select(
+            F.col("doc_id").alias("docid"),
+            F.size(F.split(F.col("text"), " ", 0)).alias("n_tokens"),
+        )
+        tq = time.time()
+        pack_sequences(counts, seq_len=2048).count()
+        timings["pack_sequences"] = round(time.time() - tq, 3)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         tq = time.time()
         cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count()

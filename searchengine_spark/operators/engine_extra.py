@@ -336,6 +336,32 @@ WHERE quality_score >= 0.75
     )
 
 
+_CODE_LANGS = ("py", "java", "go", "rust", "md")
+
+
+def _synth_code_table(docs: DataFrame) -> DataFrame:
+    """Deterministic Iceberg-shaped code table (repo, path, commit,
+    lang, content) derived from the gate corpus — the north-rule
+    input_hint's exact column set, synthesized at small scale so the
+    adapter + engine path is oracle-checkable without external data."""
+    return docs.select(
+        F.concat(F.lit("repo"), (F.col("doc_id") % 7).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(
+            F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
+            "commit"
+        ),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _CODE_LANGS]),
+            ((F.col("doc_id") % len(_CODE_LANGS)) + 1).cast("int"),
+        ).alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
 def _q_code_table_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule input shape end-to-end: synthesize the Iceberg
     code table (repo, path, commit, lang, content) deterministically
@@ -347,19 +373,7 @@ def _q_code_table_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .indexer import docs_from_code_table
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    code = docs.select(
-        F.concat(F.lit("repo"), (F.col("doc_id") % 7).cast("string")).alias(
-            "repo"
-        ),
-        F.concat(
-            F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt")
-        ).alias("path"),
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
-            "commit"
-        ),
-        F.lit("text").alias("lang"),
-        F.col("text").alias("content"),
-    )
+    code = _synth_code_table(docs)
     dt = tokenized_docs(docs_from_code_table(code), stem_stop=False)
     return dt.select("docid", "pid", "doc_len", "content_sha256")
 
@@ -386,4 +400,90 @@ WHERE len(string_split(content, ' ')) > 0
 )
 
 
+# full BM25 query pipeline over the code-table shape: the same topk SQL
+# as the core gates, with the corpus-adapter CTE swapped for the
+# repo/path@commit pid derivation (base_ctes/_topk_sql are
+# parameterized for exactly this reuse)
+_CODE_D0 = """
+d0 AS (
+  SELECT substr('repo' || CAST(doc_id % 7 AS VARCHAR)
+                || '/' || 'src/f' || CAST(doc_id AS VARCHAR) || '.txt'
+                || '@' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                1, 64) AS pid,
+         text AS content
+  FROM documents
+)"""
+
+_CODE_D0_PY = """
+d0 AS (
+  SELECT substr('repo' || CAST(doc_id % 7 AS VARCHAR)
+                || '/' || 'src/f' || CAST(doc_id AS VARCHAR) || '.txt'
+                || '@' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                1, 64) AS pid,
+         text AS content
+  FROM documents
+  WHERE doc_id % 5 = 0
+)"""
+
+
+def _code_idx(spark: SparkSession, sf_dir: str, lang: str | None = None):
+    from .frames import build_index_frames
+    from .indexer import docs_from_code_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    code = _synth_code_table(docs)
+    if lang is not None:
+        code = code.filter(F.col("lang") == lang)
+    return build_index_frames(docs_from_code_table(code), stem_stop=False)
+
+
+def _q_code_table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k THROUGH the code-table adapter: proves the whole
+    engine (analysis, dense ids, postings, lexicon, scorer, pid
+    lookup) over the north-rule input shape, not just doc stats."""
+    from .query import top_k
+
+    return top_k(
+        _code_idx(spark, sf_dir), "spark join fast", k=10,
+        conjunctive=False, scoring="bm25", round_decimals=9,
+    )
+
+
+def _q_code_table_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sub-corpus query: lang pruning BEFORE the build
+    (the Iceberg-partition-column filter a per-language index build
+    pushes to the scan); docids re-densify within the pruned corpus
+    and idf/avgdl shift accordingly — checked exactly by the oracle."""
+    from .query import top_k
+
+    return top_k(
+        _code_idx(spark, sf_dir, lang="py"), "spark join fast", k=10,
+        conjunctive=False, scoring="bm25", round_decimals=9,
+    )
+
+
+def _register_code_topk() -> None:
+    # __spark_entry__ is importable wherever gates run (driver, tools,
+    # tests); imported at call time to keep module import light
+    import __spark_entry__ as entry
+
+    register(
+        "code_table_topk",
+        _q_code_table_topk,
+        entry._topk_sql(
+            ["spark", "join", "fast"], "bm25", False, 10,
+            ctes=entry.base_ctes(_CODE_D0),
+        ),
+    )
+    register(
+        "code_table_lang_topk",
+        _q_code_table_lang_topk,
+        entry._topk_sql(
+            ["spark", "join", "fast"], "bm25", False, 10,
+            ctes=entry.base_ctes(_CODE_D0_PY),
+        ),
+    )
+
+
 _register()
+_register_code_topk()
