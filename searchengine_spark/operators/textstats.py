@@ -170,6 +170,69 @@ def fingerprints(
     )
 
 
+def unigram_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram-LM cross-entropy quality signal (the CCNet-family
+    perplexity filter, Wenzek et al. 2020 — there with a KenLM 5-gram;
+    here the corpus's own unigram model, fully deterministic and
+    oracle-reproducible): p(t) = cf(t) / total_tokens over the whole
+    corpus, and per document
+
+        cross_entropy = -(1/len) * sum_t tf_t * log10 p(t)
+
+    High cross-entropy = tokens rare in the corpus (noise/junk); low =
+    boilerplate. Output: (doc_id, doc_len, cross_entropy).
+
+    Determinism: cf and total are integer-valued double sums (exact
+    below 2^53, order-free); the per-doc partial sum is an ORDERED
+    fold over the term-sorted list (float addition isn't associative —
+    same pattern as the top-k score fold in __spark_entry__).
+
+    Scale notes: per-(doc,term) tf is the narrow run-length SPIMI
+    kernel (no shuffle, see frames.exploded_term_tf); cf is one
+    map-side-combinable term aggregation; the join back is an
+    equi-join on term (AQE broadcast for bounded vocabularies); the
+    per-doc fold shuffles once on doc_id. When the inverted index is
+    already built these frames exist as postings/lexicon — compute the
+    filter from the index instead of re-tokenizing.
+    """
+    from .frames import exploded_term_tf
+
+    toks = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.col(text_col), " ", -1).alias("tokens"),
+    )
+    tf = exploded_term_tf(toks, ["doc_id"])
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    scored = (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            F.struct(
+                F.col("term"),
+                (
+                    F.col("tf").cast("double")
+                    * F.log10(F.col("cf") / F.col("total"))
+                ).alias("v"),
+            ).alias("__tv"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len"),
+        F.array_sort(F.collect_list("__tv")).alias("__tvs"),
+    )
+    s = F.aggregate("__tvs", F.lit(0.0), lambda acc, x: acc + x["v"])
+    return agg.select(
+        "doc_id",
+        "doc_len",
+        F.round(-s / F.col("doc_len").cast("double"), 9).alias(
+            "cross_entropy"
+        ),
+    )
+
+
 REPETITION_NGRAM = 2
 REPETITION_MAX_DUP_FRACTION = 0.6
 
@@ -310,6 +373,33 @@ WITH f AS (
 SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
        CASE WHEN {_LANG_MAX} = 0 THEN 'und' {_LANG_CASE} END AS lang_pred
 FROM f
+""",
+)
+
+register(
+    "text_perplexity",
+    lambda spark, sf_dir: unigram_perplexity(_docs(spark, sf_dir)),
+    """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM t WHERE term <> '' GROUP BY doc_id, term
+),
+cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+n AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf),
+v AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf AS DOUBLE) * log10(cf.cf / (SELECT total FROM n)) AS v
+  FROM tf JOIN cf USING (term)
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len,
+       round(-(CAST(list_sum(list(v ORDER BY term)) AS DOUBLE))
+             / CAST(sum(tf) AS DOUBLE), 9) AS cross_entropy
+FROM v GROUP BY doc_id
 """,
 )
 
