@@ -202,6 +202,32 @@ def unigram_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.split(F.col(text_col), " ", -1).alias("tokens"),
     )
     tf = exploded_term_tf(toks, ["doc_id"])
+    return _perplexity_over_tf(tf)
+
+
+def unigram_perplexity_from_index(idx) -> DataFrame:
+    """``unigram_perplexity`` served from a built inverted index — the
+    per-(term,doc) tf already exists as ``postings/``, so the quality
+    filter costs one cf aggregation + one equi-join + one per-doc fold
+    and NEVER re-tokenizes the corpus (the same serve-from-the-index
+    posture as ``phrase_search_indexed``). Token identity follows the
+    index's analysis chain (cleanText/tokenize/stem per its flags)
+    rather than the raw whitespace split; with analysis disabled the
+    two variants are equal (pinned in tests).
+
+    Accepts an ``InvertedIndex`` or a bare postings DataFrame with
+    (term, docid, tf) columns.
+    """
+    postings = idx if isinstance(idx, DataFrame) else idx.postings
+    tf = postings.select(
+        F.col("docid").cast("long").alias("doc_id"), "term", "tf"
+    )
+    return _perplexity_over_tf(tf)
+
+
+def _perplexity_over_tf(tf: DataFrame) -> DataFrame:
+    """Shared core: (doc_id, term, tf) -> (doc_id, doc_len,
+    cross_entropy) with the deterministic term-ordered fold."""
     cf = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
     total = cf.agg(F.sum("cf").alias("total"))
     scored = (
