@@ -208,6 +208,15 @@ def main() -> None:
         phrase_search_indexed(idx_disk, ["spark", "join"], k=10).count()
         timings["phrase_search"] = round(time.time() - tq, 3)
 
+        # composed code-curation pipeline (quality -> dedup -> split)
+        # over the synthesized north-rule code table at the same sf
+        from searchengine_spark.operators.codestats import curate_code_corpus
+        from searchengine_spark.operators.engine_extra import _synth_code_table
+
+        tq = time.time()
+        curate_code_corpus(_synth_code_table(docs_raw)).count()
+        timings["code_curation"] = round(time.time() - tq, 3)
+
         # event sessionization at the same sf
         from searchengine_spark.operators.sessions import sessionize
 

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import re
 from functools import lru_cache
-from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import Column
@@ -69,9 +68,18 @@ _NON_ASCII_RE = re.compile(NON_ASCII_PATTERN)
 
 @lru_cache(maxsize=1)
 def stopwords() -> frozenset[str]:
-    """The reference's 683-word stopword list (config/stopwords.txt)."""
-    path = Path(__file__).with_name("stopwords.txt")
-    return frozenset(w for w in path.read_text().splitlines() if w)
+    """The reference's 683-word stopword list (config/stopwords.txt).
+
+    Loaded through ``importlib.resources`` so it resolves inside a
+    ``spark-submit --py-files searchengine_spark.zip`` deployment,
+    where ``__file__`` points INTO the zip and plain ``Path.read_text``
+    raises NotADirectoryError on every executor."""
+    from importlib import resources
+
+    text = (
+        resources.files(__package__).joinpath("stopwords.txt").read_text()
+    )
+    return frozenset(w for w in text.splitlines() if w)
 
 
 def strip_non_ascii(text: str) -> str:
