@@ -218,6 +218,7 @@ def ivf_cells(
     vec_col: str = "embedding",
     centroids="ids",
     n_probe: int = 1,
+    with_ccos: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its ``n_probe``
     nearest of ``n_centroids`` centroids (cosine, ties to the lower
@@ -248,15 +249,18 @@ def ivf_cells(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id").asc()
     )
+    cols = [
+        F.col("vec_id"),
+        F.col("emb"),
+        F.col("cent_id").alias("cell"),
+        F.col("rn").alias("cell_rank"),
+    ]
+    if with_ccos:
+        cols.append(F.col("ccos"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
-        .select(
-            "vec_id",
-            "emb",
-            F.col("cent_id").alias("cell"),
-            F.col("rn").alias("cell_rank"),
-        )
+        .select(*cols)
     )
 
 
@@ -373,6 +377,75 @@ def cosine_neardup_lsh(
             F.round(cosine(F.col("ea"), F.col("eb")), ROUND).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = NEARDUP_COSINE,
+    centroids="ids",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    semantic deduplication over an embedding column. Every vector is
+    assigned to its IVF cell (seeded k-means cells via
+    ``centroids="kmeans"`` in production; the deterministic lowest-id
+    cells are the oracle configuration — same join shape), items are
+    ranked within the cell by cosine-to-centroid (DESC, vec_id ASC —
+    dedup proceeds from the densest part of the cluster outward, the
+    paper's ordering), and an item is DROPPED when its max cosine to
+    any EARLIER-ranked cellmate is >= ``threshold`` (the upper-
+    triangular rule of the paper's pseudo-code). Consequence pinned in
+    tests: the kept set is pairwise < threshold inside every cell.
+
+    Scale shape: the centroid table is tiny and broadcast, the N-row
+    assignment scan is shuffle-free, and the pair join is per-cell
+    (cost Σ|cell|², not N²) keyed by cell id — more centroids shrink
+    the cells, the standard IVF trade. Cosines round to {ROUND}
+    decimals before compare/argmax so cross-engine float summation
+    order can't flip a keep decision.
+
+    Returns (vec_id, cell, cell_rank, max_prior_cosine, keep);
+    ``max_prior_cosine`` is NULL for each cell's rank-1 item (always
+    kept). Filter ``keep`` and join back on vec_id to realize the
+    deduplicated corpus.
+    """
+    cells = ivf_cells(
+        vectors, n_centroids, id_col, vec_col,
+        centroids=centroids, with_ccos=True,
+    ).select("vec_id", "emb", "cell", "ccos")
+    w = Window.partitionBy("cell").orderBy(
+        F.col("ccos").desc(), F.col("vec_id").asc()
+    )
+    ranked = cells.withColumn("cell_rank", F.row_number().over(w).cast("long"))
+    prior = ranked.select(
+        F.col("emb").alias("pemb"), "cell", F.col("cell_rank").alias("prn")
+    )
+    max_prior = (
+        ranked.join(prior, "cell")
+        .filter(F.col("prn") < F.col("cell_rank"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.round(cosine(F.col("emb"), F.col("pemb")), ROUND)
+            ).alias("max_prior_cosine")
+        )
+    )
+    return (
+        ranked.join(max_prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cell_rank",
+            "max_prior_cosine",
+            (
+                F.col("max_prior_cosine").isNull()
+                | (F.col("max_prior_cosine") < F.lit(threshold))
+            ).alias("keep"),
+        )
     )
 
 
@@ -518,6 +591,47 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
        round(list_cosine_similarity(a.emb, b.emb), {ROUND}) AS cosine
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.emb, b.emb), {ROUND}) >= {NEARDUP_COSINE}
+""",
+)
+
+register(
+    "semdedup_keep",
+    lambda spark, sf_dir: semdedup(_emb(spark, sf_dir)),
+    f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < 16),
+ass AS (
+  SELECT v.vec_id, v.emb, c.cent_id,
+         round(list_cosine_similarity(v.emb, c.cemb), {ROUND}) AS ccos,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_cosine_similarity(v.emb, c.cemb), {ROUND})
+             DESC, c.cent_id ASC) AS arn
+  FROM v CROSS JOIN c
+),
+cells AS (SELECT vec_id, emb, cent_id AS cell, ccos FROM ass WHERE arn = 1),
+ranked AS (
+  SELECT vec_id, emb, cell, ccos,
+         CAST(row_number() OVER (
+           PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS BIGINT)
+           AS cell_rank
+  FROM cells
+),
+mp AS (
+  SELECT a.vec_id,
+         max(round(list_cosine_similarity(a.emb, b.emb), {ROUND}))
+           AS max_prior_cosine
+  FROM ranked a JOIN ranked b
+    ON a.cell = b.cell AND b.cell_rank < a.cell_rank
+  GROUP BY a.vec_id
+)
+SELECT r.vec_id, r.cell, r.cell_rank, mp.max_prior_cosine,
+       (mp.max_prior_cosine IS NULL
+        OR mp.max_prior_cosine < {NEARDUP_COSINE}) AS keep
+FROM ranked r LEFT JOIN mp ON r.vec_id = mp.vec_id
 """,
 )
 

@@ -756,3 +756,51 @@ def test_repetition_stats_flags_planted_boilerplate(spark):
     assert got[1].repetitive and got[1].dup_ngram_fraction > 0.9
     assert not got[2].repetitive and got[2].dup_ngram_fraction == 0.0
     assert got[3].n_ngrams == 1 and not got[3].repetitive
+
+
+def test_semdedup_keep_properties(spark):
+    """SemDeDup invariants on the sf0.001 embeddings: (a) each cell's
+    rank-1 item is kept; (b) every dropped item has an earlier-ranked
+    cellmate at cosine >= tau (its recorded max_prior_cosine); (c) the
+    KEPT set is pairwise < tau inside every cell — the paper's
+    guarantee of the upper-triangular rule; (d) planted near-dup pairs
+    that share a cell lose exactly their later-ranked member."""
+    import numpy as np
+
+    from searchengine_spark.operators.similarity import (
+        NEARDUP_COSINE,
+        ROUND,
+        semdedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = {r["vec_id"]: r for r in semdedup(emb).collect()}
+    assert len(out) == emb.count()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return round(
+            float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), ROUND
+        )
+
+    dropped = [r for r in out.values() if not r["keep"]]
+    assert dropped, "synthetic corpus must exercise the drop path"
+    by_cell: dict[int, list] = {}
+    for r in out.values():
+        by_cell.setdefault(r["cell"], []).append(r)
+    for rows in by_cell.values():
+        rows.sort(key=lambda r: r["cell_rank"])
+        assert rows[0]["cell_rank"] == 1 and rows[0]["keep"]
+        assert rows[0]["max_prior_cosine"] is None
+        for i, r in enumerate(rows[1:], start=1):
+            best = max(cos(r["vec_id"], p["vec_id"]) for p in rows[:i])
+            assert r["max_prior_cosine"] == best
+            assert r["keep"] == (best < NEARDUP_COSINE)
+        kept = [r for r in rows if r["keep"]]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert cos(a["vec_id"], b["vec_id"]) < NEARDUP_COSINE
