@@ -34,7 +34,7 @@ near-duplicates for web crawling" (WWW 2007).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .entry_ops import register
@@ -446,6 +446,109 @@ def decontaminate_corpus(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring deduplication at token n-gram granularity (Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — the suffix-array ExactSubstr pass, re-expressed
+    for Spark as windowed n-gram occurrences): every occurrence of an
+    n-token window whose text appears MORE THAN ONCE in the corpus is
+    marked for removal, except the canonical first occurrence
+    (smallest (doc_id, pos)) which is kept; per document, marked
+    windows merge into maximal token spans via gaps-and-islands over
+    the running max end.
+
+    One shuffle keyed by the n-gram (selective at n=13) decides
+    duplicate-vs-canonical for every occurrence at once; the island
+    merge shuffles only the marked occurrences, keyed by doc_id —
+    output-sensitive, never corpus-sized. Docs shorter than n tokens
+    contain no window and emit no span.
+
+    Returns (doc_id, span_start, span_end, n_tokens): 0-based
+    INCLUSIVE token intervals to delete, disjoint and maximal per doc.
+    """
+    toks = ws_tokens(F.col(text_col))
+    occ = df.filter(F.size(toks) >= n).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ).alias("pos0", "gram"),
+    )
+    wg = Window.partitionBy("gram")
+    wfirst = Window.partitionBy("gram").orderBy("doc_id", "pos0")
+    marked = (
+        occ.withColumn("cnt", F.count("*").over(wg))
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .select(
+            "doc_id",
+            F.col("pos0").alias("s"),
+            (F.col("pos0") + (n - 1)).alias("e"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = (
+        marked.withColumn(
+            "brk",
+            F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(wdoc))
+    )
+    return grouped.groupBy("doc_id", "island").agg(
+        F.min("s").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).cast("long").alias("n_tokens"),
+    ).drop("island")
+
+
+def substring_dedup_corpus(
+    df: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """The corpus with every duplicated span's tokens deleted: the
+    realization step of ``duplicated_spans`` (Lee et al. 2022 keep-one
+    semantics — the canonical first occurrence survives verbatim).
+    Returns (doc_id, text, n_removed); docs without duplicated spans
+    pass through unchanged (n_removed = 0). The spans-per-doc array is
+    tiny (disjoint merged intervals), so the token filter is a narrow
+    per-row map after one broadcast-sized left join."""
+    spans = (
+        duplicated_spans(df, n, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks")
+    )
+    joined = base.join(spans, "doc_id", "left").withColumn(
+        "removed",
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("spans"), F.array()),
+                lambda sp: F.sequence(sp["span_start"], sp["span_end"]),
+            )
+        ),
+    )
+    clean = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(F.col("removed"), i.cast("long")),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(clean, " ").alias("text"),
+        (F.size("toks") - F.size(clean)).cast("long").alias("n_removed"),
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -919,5 +1022,90 @@ reach(doc_id, r) AS (
   SELECT s.src, reach.r FROM sym s JOIN reach ON reach.doc_id = s.dst
 )
 SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+""",
+)
+
+
+_SPAN_N = 13
+
+_SPANS_SQL = f"""
+t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             string_split(text, ' ') AS toks
+      FROM documents),
+occ AS (
+  SELECT doc_id, i.i - 1 AS pos0,
+         array_to_string(toks[i.i:i.i + {_SPAN_N - 1}], ' ') AS gram
+  FROM t, LATERAL (
+    SELECT unnest(range(1, len(toks) - {_SPAN_N} + 2)) AS i) i
+  WHERE len(toks) >= {_SPAN_N}
+),
+marked AS (
+  SELECT doc_id, pos0 AS s, pos0 + {_SPAN_N} - 1 AS e
+  FROM (SELECT doc_id, pos0,
+               count(*) OVER (PARTITION BY gram) AS cnt,
+               row_number() OVER (
+                 PARTITION BY gram ORDER BY doc_id, pos0) AS rn
+        FROM occ)
+  WHERE cnt > 1 AND rn > 1
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+         CAST(max(e) AS BIGINT) AS span_end,
+         CAST(max(e) - min(s) + 1 AS BIGINT) AS n_tokens
+  FROM grp GROUP BY doc_id, island
+)"""
+
+
+register(
+    "substring_dup_spans",
+    lambda spark, sf_dir: duplicated_spans(_docs(spark, sf_dir), n=_SPAN_N),
+    f"""
+WITH {_SPANS_SQL}
+SELECT doc_id, span_start, span_end, n_tokens FROM spans
+""",
+)
+
+register(
+    "substring_dedup_corpus",
+    lambda spark, sf_dir: substring_dedup_corpus(
+        _docs(spark, sf_dir), n=_SPAN_N
+    ),
+    f"""
+WITH {_SPANS_SQL},
+pos AS (
+  SELECT doc_id, p.i AS i, toks[p.i] AS tok
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) p
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.i - 1 BETWEEN s.span_start AND s.span_end)
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(array_to_string(list(tok ORDER BY i), ' '), '') AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.text, '') AS text,
+       CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """,
 )

@@ -804,3 +804,47 @@ def test_semdedup_keep_properties(spark):
         for i, a in enumerate(kept):
             for b in kept[i + 1:]:
                 assert cos(a["vec_id"], b["vec_id"]) < NEARDUP_COSINE
+
+
+def test_substring_dedup_planted_spans(spark):
+    """Lee-et-al exact-substring semantics on a planted corpus: a
+    passage shared by two docs survives verbatim in the smallest
+    (doc_id, pos) occurrence and is deleted from the other; an
+    in-document repeat loses its second occurrence; overlapping
+    duplicated windows merge into one maximal span; short docs pass
+    through untouched."""
+    from searchengine_spark.operators.dedup import (
+        duplicated_spans,
+        substring_dedup_corpus,
+    )
+
+    passage = [f"p{i}" for i in range(20)]          # 20 shared tokens
+    uniq = lambda tag, k: [f"{tag}{i}" for i in range(k)]
+    rows = [
+        # doc 1: unique prefix + passage  -> canonical, kept verbatim
+        (1, " ".join(uniq("a", 5) + passage)),
+        # doc 2: passage + unique suffix  -> passage deleted
+        (2, " ".join(passage + uniq("b", 5))),
+        # doc 3: 13-token phrase repeated back-to-back -> 2nd copy goes
+        (3, " ".join(uniq("r", 13) + uniq("r", 13))),
+        # doc 4: shorter than n, no windows
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicated_spans(df, n=13).collect()
+    }
+    # doc 2's full 20-token passage (positions 0..19) is one merged span
+    assert spans[2] == (0, 19, 20)
+    # doc 3's second 13-token copy (positions 13..25) is removed
+    assert spans[3] == (13, 25, 13)
+    assert 1 not in spans and 4 not in spans
+
+    clean = {r["doc_id"]: r for r in substring_dedup_corpus(df, n=13).collect()}
+    assert clean[1]["text"] == rows[0][1] and clean[1]["n_removed"] == 0
+    assert clean[2]["text"] == " ".join(uniq("b", 5))
+    assert clean[2]["n_removed"] == 20
+    assert clean[3]["text"] == " ".join(uniq("r", 13))
+    assert clean[3]["n_removed"] == 13
+    assert clean[4]["text"] == "tiny doc" and clean[4]["n_removed"] == 0
