@@ -176,6 +176,15 @@ def main() -> None:
         duplicate_clusters(docs_raw).count()
         timings["dedup_cluster_cc"] = round(time.time() - tq, 3)
 
+        # exact-substring dedup (hash-keyed gram shuffle, the at-scale
+        # configuration) and embedding SemDeDup at the same sf
+        from searchengine_spark.operators.dedup import substring_dedup_corpus
+        from searchengine_spark.operators.similarity import semdedup
+
+        tq = time.time()
+        substring_dedup_corpus(docs_raw, hash_key=True).count()
+        timings["substring_dedup"] = round(time.time() - tq, 3)
+
         # sequence packing: distributed prefix sum over token counts
         from searchengine_spark.operators.curation import pack_sequences
 
@@ -190,6 +199,10 @@ def main() -> None:
         tq = time.time()
         cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count()
         timings["ann_cosine_topk"] = round(time.time() - tq, 3)
+
+        tq = time.time()
+        semdedup(emb).filter("keep").count()
+        timings["semdedup"] = round(time.time() - tq, 3)
 
         # positional index build (stage 6 only — the base stages resume)
         # and phrase search SERVED FROM DISK: no re-tokenization at

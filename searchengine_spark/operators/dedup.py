@@ -449,7 +449,8 @@ def decontaminate_corpus(
 
 
 def duplicated_spans(
-    df: DataFrame, n: int = 13, text_col: str = "text"
+    df: DataFrame, n: int = 13, text_col: str = "text",
+    hash_key: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication at token n-gram granularity (Lee
     et al., "Deduplicating Training Data Makes Language Models
@@ -467,6 +468,12 @@ def duplicated_spans(
     output-sensitive, never corpus-sized. Docs shorter than n tokens
     contain no window and emit no span.
 
+    ``hash_key=True`` shuffles xxhash64(gram) instead of the gram
+    string — ~8 bytes per occurrence instead of ~8n, the 100 TB
+    configuration (a 64-bit collision falsely merges two windows, the
+    same accepted trade hash-based ExactSubstr pipelines make; the
+    default stays exact so the DuckDB oracle is collision-free).
+
     Returns (doc_id, span_start, span_end, n_tokens): 0-based
     INCLUSIVE token intervals to delete, disjoint and maximal per doc.
     """
@@ -480,6 +487,8 @@ def duplicated_spans(
             )
         ).alias("pos0", "gram"),
     )
+    if hash_key:
+        occ = occ.select("doc_id", "pos0", F.xxhash64("gram").alias("gram"))
     wg = Window.partitionBy("gram")
     wfirst = Window.partitionBy("gram").orderBy("doc_id", "pos0")
     marked = (
@@ -511,7 +520,8 @@ def duplicated_spans(
 
 
 def substring_dedup_corpus(
-    df: DataFrame, n: int = 13, text_col: str = "text"
+    df: DataFrame, n: int = 13, text_col: str = "text",
+    hash_key: bool = False,
 ) -> DataFrame:
     """The corpus with every duplicated span's tokens deleted: the
     realization step of ``duplicated_spans`` (Lee et al. 2022 keep-one
@@ -521,7 +531,7 @@ def substring_dedup_corpus(
     tiny (disjoint merged intervals), so the token filter is a narrow
     per-row map after one broadcast-sized left join."""
     spans = (
-        duplicated_spans(df, n, text_col)
+        duplicated_spans(df, n, text_col, hash_key=hash_key)
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")

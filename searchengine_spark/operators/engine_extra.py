@@ -123,6 +123,23 @@ def _q_streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked dedup over a twice-delivered backlog must
+    equal the distinct event table exactly."""
+    import shutil
+
+    from ..streaming.incremental import dedup_event_stream
+
+    with tempfile.TemporaryDirectory(prefix="se_evdup_") as tmp:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+        rows = dedup_event_stream(spark, tmp).collect()
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
 def _q_lexicon_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase lexicon aggregation (skew path) — must equal
     the plain aggregation exactly, so it shares lexicon_stats' oracle."""
@@ -283,6 +300,13 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    )
+    register(
+        "streaming_event_dedup",
+        _q_streaming_event_dedup,
+        "SELECT CAST(event_id AS BIGINT) AS event_id, ts,"
+        " CAST(user_id AS BIGINT) AS user_id, event_type, value, props"
+        " FROM events",
     )
     register(
         "lexicon_salted",

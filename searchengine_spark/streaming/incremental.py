@@ -192,6 +192,50 @@ def windowed_event_stats(
     return spark.table(name)
 
 
+def dedup_event_stream(
+    spark: SparkSession,
+    source: str,
+    watermark_delay: str = "2 hours",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming exact deduplication: at-least-once event delivery ->
+    exactly-once analytics via ``dropDuplicatesWithinWatermark`` on the
+    event key. Unlike plain streaming ``dropDuplicates`` (whose key
+    state grows forever), the watermark EVICTS state for keys older
+    than the delay — the bounded-state production shape; a replayed
+    event arriving within the delay is dropped, one arriving later
+    than the watermark is the standard at-least-once residual risk.
+
+    To exercise the drop path deterministically the source backlog is
+    read twice and unioned, so every event arrives exactly twice with
+    identical payloads; the availableNow output must equal the distinct
+    input — which is how the gate pins it to a SQL oracle.
+
+    Returns the deduplicated event rows from the memory sink."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    once = spark.readStream.schema(schema).parquet(source)
+    again = spark.readStream.schema(schema).parquet(source)
+    deduped = (
+        once.union(again)
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _WINDOW_SINK_SEQ[0] += 1
+    name = f"se_dedup_events_{_WINDOW_SINK_SEQ[0]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
 def _term_partials(postings: DataFrame) -> DataFrame:
     """Per-term N/avgdl-INDEPENDENT aggregates, from which every lexicon
     column derives by a map-only pass (``derive_lexicon``):

@@ -885,3 +885,44 @@ def test_secret_scan_and_redact_planted(spark):
     assert red[("r1", "b.py")] == "t=<github_token> u=<github_token> <slack_token>"
     assert red[("r2", "c.md")].startswith("<private_key>")
     assert red[("r2", "d.go")] == rows[3][4]
+
+
+def test_substring_dedup_hash_key_identity(spark):
+    """hash_key=True (shuffle xxhash64(gram), the 100 TB configuration)
+    must produce the identical span set on the real sf0.001 corpus —
+    64-bit collisions are the only divergence mode and none exist at
+    test scale."""
+    from searchengine_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = sorted(map(tuple, duplicated_spans(docs, n=13).collect()))
+    hashed = sorted(
+        map(tuple, duplicated_spans(docs, n=13, hash_key=True).collect())
+    )
+    assert exact == hashed and exact
+
+
+def test_streaming_event_dedup_drops_replays(spark, tmp_path):
+    """A backlog whose second file replays the first (identical rows)
+    must come out of the watermarked streaming dedup with each
+    event_id exactly once, equal to the batch distinct."""
+    import datetime as dt
+
+    from searchengine_spark.streaming.incremental import dedup_event_stream
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1, 0, i), i % 3, f"t{i % 2}", float(i), "p")
+        for i in range(8)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "events")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)  # replay file
+    out = dedup_event_stream(spark, src)
+    got = sorted(map(tuple, out.collect()))
+    # source delivers each event 2x (replay file) x2 (union) = 4 copies
+    assert got == sorted(map(tuple, rows))
