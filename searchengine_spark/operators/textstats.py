@@ -448,3 +448,101 @@ SELECT doc_id, min(h) AS min_fingerprint,
 FROM w GROUP BY doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profile (dataset-card summary)
+# ---------------------------------------------------------------------------
+
+PROFILE_PCTS = (0.5, 0.9, 0.99)
+
+
+def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset-card summary: document/token totals, vocabulary
+    size, and nearest-rank doc-length percentiles (p(q) = the smallest
+    length whose cumulative doc count reaches ceil(q*N) — a
+    deterministic integer definition both engines agree on, unlike
+    interpolated quantiles).
+
+    Scale shape: percentiles come from a HISTOGRAM — one small
+    groupBy(doc_len) shuffle, then a cumulative sum over the tiny
+    distinct-length aggregate — never a global sort of the corpus;
+    vocab size is one distinct-aggregate over the exploded token
+    stream. At 10^12 docs the histogram has at most |distinct
+    lengths| rows, so the percentile step is driver-trivial."""
+    from pyspark.sql import Window
+
+    lens = df.select(
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("doc_len")
+    )
+    hist = lens.groupBy("doc_len").agg(F.count("*").alias("n"))
+    w = Window.orderBy("doc_len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cn", F.sum("n").over(w))
+    tot = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("doc_len").alias("n_tokens")
+    )
+    pct_cols = []
+    for q in PROFILE_PCTS:
+        tag = f"p{int(q * 100)}_len"
+        pct_cols.append(
+            F.min(
+                F.when(
+                    F.col("cn") >= F.ceil(F.col("n_docs") * q),
+                    F.col("doc_len"),
+                )
+            ).alias(tag)
+        )
+    pcts = cum.crossJoin(F.broadcast(tot)).agg(
+        *pct_cols, F.max("doc_len").alias("max_len")
+    )
+    vocab = df.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("vocab_size"))
+    return (
+        tot.crossJoin(pcts)
+        .crossJoin(vocab)
+        .select(
+            "n_docs", "n_tokens", "vocab_size",
+            "p50_len", "p90_len", "p99_len", "max_len",
+        )
+    )
+
+
+register(
+    "corpus_profile",
+    lambda spark, sf_dir: corpus_profile(_docs(spark, sf_dir)),
+    """
+WITH lens AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_len
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_len) AS BIGINT) AS n_tokens
+  FROM lens
+),
+hist AS (SELECT doc_len, count(*) AS n FROM lens GROUP BY doc_len),
+cum AS (
+  SELECT doc_len, sum(n) OVER (ORDER BY doc_len
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+  FROM hist
+),
+pcts AS (
+  SELECT
+    CAST(min(CASE WHEN cn >= ceil(n_docs * 0.5) THEN doc_len END) AS BIGINT)
+      AS p50_len,
+    CAST(min(CASE WHEN cn >= ceil(n_docs * 0.9) THEN doc_len END) AS BIGINT)
+      AS p90_len,
+    CAST(min(CASE WHEN cn >= ceil(n_docs * 0.99) THEN doc_len END) AS BIGINT)
+      AS p99_len,
+    CAST(max(doc_len) AS BIGINT) AS max_len
+  FROM cum CROSS JOIN tot
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(tok)
+)
+SELECT n_docs, n_tokens, vocab_size, p50_len, p90_len, p99_len, max_len
+FROM tot CROSS JOIN pcts CROSS JOIN vocab
+""",
+)

@@ -926,3 +926,16 @@ def test_streaming_event_dedup_drops_replays(spark, tmp_path):
     got = sorted(map(tuple, out.collect()))
     # source delivers each event 2x (replay file) x2 (union) = 4 copies
     assert got == sorted(map(tuple, rows))
+
+
+def test_corpus_profile_hand_computed(spark):
+    """Nearest-rank percentiles on a 10-doc corpus with known lengths
+    1..10 (each doc i = i copies of a token): p50 = len 5, p90 = 9,
+    p99 = 10; vocab = 10 distinct tokens; totals 10 docs / 55 tokens."""
+    from searchengine_spark.operators.textstats import corpus_profile
+
+    rows = [(i, " ".join([f"w{i}"] * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = corpus_profile(df).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.vocab_size) == (10, 55, 10)
+    assert (r.p50_len, r.p90_len, r.p99_len, r.max_len) == (5, 9, 10, 10)
