@@ -116,17 +116,22 @@ def token_fingerprint_groups(df: DataFrame, text_col: str = "text") -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    toks = ws_tokens(F.col(text_col))
-    sh = F.array_distinct(
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array."""
+    toks = ws_tokens(text)
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
     return df.select(
-        F.col("doc_id").cast("long").alias("doc_id"), F.explode(sh).alias("shingle")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -178,22 +183,45 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_cols(sh_col: Column, k: int) -> list[Column]:
+    """k independent min-hashes of a shingle-array column, where
+    hash_i(s) = portable_hash(i || ':' || s) — each an
+    array_min(transform(...)) evaluated per ROW, entirely JVM-side.
+
+    The shingle array must be a projected ATTRIBUTE (withColumn), not an
+    inline expression: these k columns each reference it, and Catalyst
+    keeps multi-referenced non-cheap expressions un-collapsed
+    (SPARK-36718) only when they are their own attribute — otherwise the
+    shingle subtree would inline k times.
+
+    NB: the per-i lambda comes from a closure factory — a default-arg
+    lambda (``lambda s, i=i``) would be read by PySpark as a
+    TWO-parameter HOF lambda, binding ``i`` to the array index column."""
+
+    def hasher(i: int):
+        prefix = f"{i}:"
+        return lambda s: portable_hash(F.concat(F.lit(prefix), s))
+
+    return [F.array_min(F.transform(sh_col, hasher(i))) for i in range(k)]
+
+
 def minhash_signatures(
     df: DataFrame, n: int = 3, k: int = MINHASH_K, text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, hash_idx, minhash): k independent min-hashes, where
-    hash_i(s) = portable_hash(i || ':' || s). Computed by explode +
-    one (doc_id, hash_idx) min-aggregation — fully relational."""
-    sh = shingles(df, n, text_col)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_idx")
-    hashed = sh.select("doc_id", idx, "shingle").select(
-        "doc_id",
-        "hash_idx",
-        portable_hash(
-            F.concat(F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
+    hash_i(s) = portable_hash(i || ':' || s).
+
+    NARROW plan: each doc's shingle set is already one row's array, so
+    every min-hash is a per-row array_min — no explode of
+    |shingles| x k rows and no (doc_id, hash_idx) shuffle (which at
+    10^12 docs would shuffle ~10^16 rows for k=16). The posexplode
+    emits only k rows per doc, map-side."""
+    sh = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shingle_array(F.col(text_col), n).alias("_sh"),
+    ).filter(F.col("_sh").isNotNull())
+    sig = F.array(*_minhash_cols(F.col("_sh"), k))
+    return sh.select("doc_id", F.posexplode(sig).alias("hash_idx", "minhash"))
 
 
 def band_signatures(
@@ -204,27 +232,39 @@ def band_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, band, band_key): each band's md5 over its
-    ``k // bands`` minhash rows in hash_idx order — the LSH bucket key.
-    Shared by the self-join dedup path and the cross-corpus
-    decontamination join."""
+    ``k // bands`` minhash values in hash_idx order — the LSH bucket
+    key. Shared by the self-join dedup path and the cross-corpus
+    decontamination join.
+
+    NARROW plan (no shuffle): signatures and band keys are per-row
+    column expressions over the doc's shingle array; only ``bands``
+    rows per doc leave the map task. Value-identical to the relational
+    explode + min-agg + collect_list formulation it replaced."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, n, k, text_col)
-    return (
-        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("hash_idx", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    sh = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shingle_array(F.col(text_col), n).alias("_sh"),
+    ).filter(F.col("_sh").isNotNull())
+    sigs = _minhash_cols(F.col("_sh"), k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            sigs[b * rows_per_band + j].cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
     )
 
 
@@ -565,42 +605,66 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit tf-weighted SimHash per doc.
 
     bit_j(doc) = 1 iff sum over distinct tokens of
-    tf * (+1 if bit_j(hash(token)) else -1) > 0. Relational plan:
-    explode tokens -> tf agg -> explode 60 bit positions -> signed sum
-    per (doc, bit) -> bit-pack. Two shuffles, both on dense keys.
-    """
-    toks = df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(ws_tokens(F.col(text_col))).alias("token"),
-    )
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    tf = tf.withColumn("h", portable_hash(F.col("token")))
-    bits = tf.select(
-        "doc_id",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-    ).select(
-        "doc_id",
-        "j",
-        # shiftright/shiftleft builders take only literal shift counts;
-        # the SQL functions accept column shifts
-        (
-            F.col("tf").cast("long")
-            * (F.expr("shiftright(h, cast(j as int)) & 1") * 2 - 1)
-        ).alias("contrib"),
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+    tf * (+1 if bit_j(hash(token)) else -1) > 0.
+
+    NARROW plan (no shuffle): a doc's token multiset is one row's
+    array, so per-token tf is the run lengths of the sorted array and
+    every bit's signed sum is a per-row integer fold over the
+    (hash, tf) entries — all-integer arithmetic, so exactly the value
+    the explode -> tf-agg -> per-bit-agg relational plan produced
+    while shuffling |tokens| + 60 x |distinct tokens| rows per doc.
+    Each intermediate is its own projection attribute (SPARK-36718
+    keeps multi-referenced non-cheap expressions un-collapsed);
+    the per-bit lambdas come from a closure factory, never default-arg
+    lambdas (PySpark reads extra lambda args as HOF parameters).
+    Docs with no tokens emit no row (the explode formulation dropped
+    them; the fold must not resurrect them as signature 0)."""
+    d = (
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            ws_tokens(F.col(text_col)).alias("__tk"),
         )
+        .filter(F.size("__tk") > 0)
+        .withColumn("__st", F.array_sort("__tk"))
+        .withColumn("__n", F.size("__st"))
     )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda i: (i == F.lit(0))
+        | (F.element_at(F.col("__st"), i + 1) != F.element_at(F.col("__st"), i)),
+    )
+    d = d.withColumn("__starts", starts)
+    ends = F.concat(
+        F.slice(
+            F.col("__starts"), 2, F.greatest(F.size("__starts") - 1, F.lit(0))
+        ),
+        F.array(F.col("__n")),
+    )
+    entries = F.zip_with(
+        F.col("__starts"),
+        ends,
+        lambda s, e: F.struct(
+            portable_hash(F.element_at(F.col("__st"), s + 1)).alias("h"),
+            (e - s).cast("long").alias("tf"),
+        ),
+    )
+    d = d.withColumn("__e", entries)
+
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            F.col("__e"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + x["tf"] * (F.shiftright(x["h"], j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return d.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(

@@ -939,3 +939,149 @@ def test_corpus_profile_hand_computed(spark):
     r = corpus_profile(df).collect()[0]
     assert (r.n_docs, r.n_tokens, r.vocab_size) == (10, 55, 10)
     assert (r.p50_len, r.p90_len, r.p99_len, r.max_len) == (5, 9, 10, 10)
+
+
+# ---------------------------------------------------------------------------
+# narrow MinHash signatures (shuffle-free; value-identical to the
+# relational explode + min-agg formulation they replaced)
+# ---------------------------------------------------------------------------
+
+
+def test_band_signatures_plan_has_no_exchange(spark):
+    """A doc's shingle set is one row's array, so the whole MinHash
+    banding must be narrow: no Exchange anywhere in the plan."""
+    from searchengine_spark.operators.dedup import band_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g")], "doc_id long, text string"
+    )
+    plan = band_signatures(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_narrow_minhash_equals_relational_twin(spark):
+    """The per-row array_min signatures and per-row band keys must be
+    value-identical to the relational explode + groupBy-min +
+    ordered-collect formulation (the plan they replaced), and stable
+    across subsets of the same frame (the cross-corpus join relies on
+    band keys agreeing BETWEEN separately-built frames)."""
+    from searchengine_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        band_signatures,
+        minhash_signatures,
+        shingles,
+    )
+    from searchengine_spark.operators.textstats import portable_hash
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z common suffix tokens {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    # relational twin: explode shingles x hash indices, min-agg
+    sh = shingles(df)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("hash_idx")
+    rel = (
+        sh.select("doc_id", idx, "shingle")
+        .select(
+            "doc_id",
+            "hash_idx",
+            portable_hash(
+                F.concat(
+                    F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle")
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "hash_idx")
+        .agg(F.min("h").alias("minhash"))
+    )
+    got = sorted(map(tuple, minhash_signatures(df).collect()))
+    want = sorted(map(tuple, rel.collect()))
+    assert got == want
+
+    # band keys: md5 over the band's minhashes in hash_idx order
+    r = MINHASH_K // MINHASH_BANDS
+    rel_bands = (
+        rel.withColumn("band", (F.col("hash_idx") / r).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    got_b = sorted(map(tuple, band_signatures(df).collect()))
+    assert got_b == sorted(map(tuple, rel_bands.collect()))
+
+    # subset stability: keys computed from a filtered frame are the rows
+    # of the full frame's keys (two separate plan instances must agree)
+    sub = sorted(
+        map(tuple, band_signatures(df.filter(F.col("doc_id") % 2 == 0)).collect())
+    )
+    assert sub == [t for t in got_b if t[0] % 2 == 0]
+
+
+def test_simhash_plan_has_no_exchange_and_matches_relational_twin(spark):
+    """The per-row SimHash fold must be narrow (no Exchange) and
+    integer-exactly equal to the relational explode + per-bit-agg
+    formulation it replaced."""
+    from searchengine_spark.operators.dedup import SIMHASH_BITS, simhash
+    from searchengine_spark.operators.textstats import portable_hash, ws_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "b b b z"),
+            (3, None),
+            (4, "unique tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    plan = simhash(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    tf = (
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(ws_tokens(F.col("text"))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", portable_hash(F.col("token")))
+    )
+    rel = (
+        tf.select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            (
+                F.col("tf").cast("long")
+                * (F.expr("shiftright(h, cast(j as int)) & 1") * 2 - 1)
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+    got = sorted(map(tuple, simhash(df).collect()))
+    assert got == sorted(map(tuple, rel.collect()))
+    assert [t[0] for t in got] == [1, 2, 4]  # null-text doc 3 emits no row
