@@ -183,44 +183,82 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_cols(sh_col: Column, k: int) -> list[Column]:
-    """k independent min-hashes of a shingle-array column, where
-    hash_i(s) = portable_hash(i || ':' || s) — each an
-    array_min(transform(...)) evaluated per ROW, entirely JVM-side.
+# Universal-hash MinHash family (Carter & Wegman 1979; the standard
+# MinHash construction, Broder 1997 §4): one 60-bit portable base hash
+# per shingle, then h_i(x) = (a_i * x + b_i) mod p over the base hash.
+# p = 2^31 - 1 (Mersenne prime) keeps every product < 2^62, inside
+# signed-64 range on BOTH engines (DuckDB raises on BIGINT overflow —
+# wrap-around tricks are not portable). The (a_i, b_i) are fixed
+# LCG-derived constants so the DuckDB oracle embeds the identical
+# family as literals. One md5 per shingle instead of k: the k affine
+# min-folds are cheap integer HOFs (higher-order functions evaluate
+# interpreted — they never enter codegen — so hashing work per element
+# is the term that matters).
+MINHASH_PRIME = (1 << 31) - 1
 
-    The shingle array must be a projected ATTRIBUTE (withColumn), not an
+
+def _affine_params(k: int) -> list[tuple[int, int]]:
+    params, x = [], 1103515245
+    for _ in range(k):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x % (MINHASH_PRIME - 1) + 1  # a != 0 (mod p)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def base_hash_col(sh_col: Column) -> Column:
+    """Per-shingle 60-bit portable hash reduced mod p — computed ONCE
+    per shingle; all k min-hash folds derive from it."""
+    return F.transform(
+        sh_col, lambda s: portable_hash(s) % F.lit(MINHASH_PRIME)
+    )
+
+
+def _minhash_cols(bh_col: Column, k: int) -> list[Column]:
+    """k min-hashes over a base-hash array column:
+    sig_i = min over shingles of (a_i * base + b_i) mod p.
+
+    ``bh_col`` must be a projected ATTRIBUTE (withColumn), not an
     inline expression: these k columns each reference it, and Catalyst
     keeps multi-referenced non-cheap expressions un-collapsed
-    (SPARK-36718) only when they are their own attribute — otherwise the
-    shingle subtree would inline k times.
+    (SPARK-36718) only when they are their own attribute — otherwise
+    the md5 base-hash subtree would inline k times.
 
     NB: the per-i lambda comes from a closure factory — a default-arg
     lambda (``lambda s, i=i``) would be read by PySpark as a
     TWO-parameter HOF lambda, binding ``i`` to the array index column."""
 
-    def hasher(i: int):
-        prefix = f"{i}:"
-        return lambda s: portable_hash(F.concat(F.lit(prefix), s))
+    def affine(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
-    return [F.array_min(F.transform(sh_col, hasher(i))) for i in range(k)]
+    return [
+        F.array_min(F.transform(bh_col, affine(a, b)))
+        for a, b in _affine_params(k)
+    ]
 
 
 def minhash_signatures(
     df: DataFrame, n: int = 3, k: int = MINHASH_K, text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, hash_idx, minhash): k independent min-hashes, where
-    hash_i(s) = portable_hash(i || ':' || s).
+    hash_i(s) = (a_i * (portable_hash(s) mod p) + b_i) mod p.
 
     NARROW plan: each doc's shingle set is already one row's array, so
     every min-hash is a per-row array_min — no explode of
     |shingles| x k rows and no (doc_id, hash_idx) shuffle (which at
     10^12 docs would shuffle ~10^16 rows for k=16). The posexplode
     emits only k rows per doc, map-side."""
-    sh = df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        shingle_array(F.col(text_col), n).alias("_sh"),
-    ).filter(F.col("_sh").isNotNull())
-    sig = F.array(*_minhash_cols(F.col("_sh"), k))
+    sh = (
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingle_array(F.col(text_col), n).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
+        .withColumn("_bh", base_hash_col(F.col("_sh")))
+    )
+    sig = F.array(*_minhash_cols(F.col("_bh"), k))
     return sh.select("doc_id", F.posexplode(sig).alias("hash_idx", "minhash"))
 
 
@@ -241,11 +279,15 @@ def band_signatures(
     rows per doc leave the map task. Value-identical to the relational
     explode + min-agg + collect_list formulation it replaced."""
     rows_per_band = k // bands
-    sh = df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        shingle_array(F.col(text_col), n).alias("_sh"),
-    ).filter(F.col("_sh").isNotNull())
-    sigs = _minhash_cols(F.col("_sh"), k)
+    sh = (
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingle_array(F.col(text_col), n).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
+        .withColumn("_bh", base_hash_col(F.col("_sh")))
+    )
+    sigs = _minhash_cols(F.col("_bh"), k)
     band_structs = F.array(
         *[
             F.struct(
@@ -284,7 +326,9 @@ def minhash_lsh_pairs(
     shingle Jaccard and the threshold filter — so output = exact pairs
     RESTRICTED to LSH-recalled candidates, matching the standard
     MinHash-dedup pipeline."""
-    band_sig = band_signatures(df, n, k, bands, text_col)
+    # cached: the self-join would otherwise evaluate the signature
+    # expressions once per side
+    band_sig = _cached(band_signatures(df, n, k, bands, text_col))
     a, b = band_sig.alias("a"), band_sig.alias("b")
     cands = (
         a.join(
@@ -914,14 +958,20 @@ register(
 
 def minhash_ctes_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
     """DuckDB CTEs reproducing ``minhash_signatures`` + banding at any
-    (k, bands); expects the ``sh`` shingle CTE in scope."""
+    (k, bands); expects the ``sh`` shingle CTE in scope. Embeds the
+    same affine universal-hash family (a_i, b_i, p) as literals."""
     rows_per_band = k // bands
+    values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_affine_params(k))
+    )
     return f"""
+hp(hash_idx, a, b) AS (VALUES {values}),
 hs AS (
-  SELECT sh.doc_id, i.i AS hash_idx,
-         min({portable_hash_sql("CAST(i.i AS VARCHAR) || ':' || sh.shingle")}) AS minhash
-  FROM sh, LATERAL (SELECT unnest(range(0, {k})) AS i) i
-  GROUP BY sh.doc_id, i.i
+  SELECT sh.doc_id, hp.hash_idx,
+         min((hp.a * ({portable_hash_sql("sh.shingle")} % {MINHASH_PRIME})
+              + hp.b) % {MINHASH_PRIME}) AS minhash
+  FROM sh CROSS JOIN hp
+  GROUP BY sh.doc_id, hp.hash_idx
 ),
 bandsig AS (
   SELECT doc_id, hash_idx // {rows_per_band} AS band,

@@ -978,18 +978,26 @@ def test_narrow_minhash_equals_relational_twin(spark):
         [(i, f"w{i} x y z common suffix tokens {i % 3}") for i in range(12)],
         "doc_id long, text string",
     )
-    # relational twin: explode shingles x hash indices, min-agg
+    # relational twin: explode shingles x hash params, min-agg over the
+    # same affine family (a_i * (base mod p) + b_i) mod p
+    from searchengine_spark.operators.dedup import MINHASH_PRIME, _affine_params
+
+    spark_params = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_affine_params(MINHASH_K))],
+        "hash_idx int, a long, b long",
+    )
     sh = shingles(df)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("hash_idx")
     rel = (
-        sh.select("doc_id", idx, "shingle")
+        sh.crossJoin(F.broadcast(spark_params))
         .select(
             "doc_id",
             "hash_idx",
-            portable_hash(
-                F.concat(
-                    F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle")
+            (
+                (
+                    F.col("a") * (portable_hash(F.col("shingle")) % MINHASH_PRIME)
+                    + F.col("b")
                 )
+                % MINHASH_PRIME
             ).alias("h"),
         )
         .groupBy("doc_id", "hash_idx")
