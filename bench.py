@@ -164,10 +164,13 @@ def main() -> None:
         from searchengine_spark.operators.dedup import minhash_lsh_pairs
         from searchengine_spark.operators.similarity import cosine_topk
 
+        from searchengine_spark.operators.dedup import release_caches
+
         docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
         tq = time.time()
         minhash_lsh_pairs(docs_raw).count()
         timings["dedup_minhash_lsh"] = round(time.time() - tq, 3)
+        release_caches()
 
         # full fuzzy-dedup close-out: LSH pairs -> connected components
         from searchengine_spark.operators.dedup import duplicate_clusters
@@ -175,6 +178,7 @@ def main() -> None:
         tq = time.time()
         duplicate_clusters(docs_raw).count()
         timings["dedup_cluster_cc"] = round(time.time() - tq, 3)
+        release_caches()
 
         # exact-substring dedup (hash-keyed gram shuffle, the at-scale
         # configuration) and embedding SemDeDup at the same sf
@@ -200,8 +204,11 @@ def main() -> None:
         cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count()
         timings["ann_cosine_topk"] = round(time.time() - tq, 3)
 
+        # cells sized ~N/64: the per-cell pair join costs sum |cell|^2,
+        # so the centroid count must grow with N (the standard IVF
+        # trade; the gate keeps the 16-cell oracle configuration)
         tq = time.time()
-        semdedup(emb).filter("keep").count()
+        semdedup(emb, n_centroids=64).filter("keep").count()
         timings["semdedup"] = round(time.time() - tq, 3)
 
         # positional index build (stage 6 only — the base stages resume)

@@ -30,6 +30,26 @@ ROUND = 6
 NEARDUP_COSINE = 0.35  # chosen from the synthetic corpus cosine tail
 LSH_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # 1-based dims for 8 sign bits
 
+# frames cached ahead of self-joins (HOF cosines evaluate interpreted,
+# so re-evaluating an assignment scan per join side is the dominant
+# cost); call release_caches() after materializing results in
+# long-lived sessions, mirroring operators.dedup
+_CACHE_HANDLES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    while _CACHE_HANDLES:
+        try:
+            _CACHE_HANDLES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _cached(df: DataFrame) -> DataFrame:
+    out = df.cache()
+    _CACHE_HANDLES.append(out)
+    return out
+
 
 def as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -420,12 +440,26 @@ def semdedup(
     w = Window.partitionBy("cell").orderBy(
         F.col("ccos").desc(), F.col("vec_id").asc()
     )
-    ranked = cells.withColumn("cell_rank", F.row_number().over(w).cast("long"))
-    prior = ranked.select(
+    # The prior-rank self-join would re-run the N x n_centroids
+    # assignment scan once per side (HOF cosines evaluate interpreted),
+    # so the assignment is cached — but WITHOUT the embedding column:
+    # columnar-caching array<float> costs more than it saves, while the
+    # (vec_id, cell, cell_rank) triple is tiny. Each join side re-reads
+    # its embeddings from the source scan by vec_id instead.
+    ranked = _cached(
+        cells.withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .select("vec_id", "cell", "cell_rank")
+    )
+    embs = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+    )
+    cur = ranked.join(embs, "vec_id")
+    prior = ranked.join(embs, "vec_id").select(
         F.col("emb").alias("pemb"), "cell", F.col("cell_rank").alias("prn")
     )
     max_prior = (
-        ranked.join(prior, "cell")
+        cur.join(prior, "cell")
         .filter(F.col("prn") < F.col("cell_rank"))
         .groupBy("vec_id")
         .agg(
