@@ -210,6 +210,11 @@ def main() -> None:
         tq = time.time()
         semdedup(emb, n_centroids=64).filter("keep").count()
         timings["semdedup"] = round(time.time() - tq, 3)
+        from searchengine_spark.operators.similarity import (
+            release_caches as release_sim_caches,
+        )
+
+        release_sim_caches()
 
         # positional index build (stage 6 only — the base stages resume)
         # and phrase search SERVED FROM DISK: no re-tokenization at
