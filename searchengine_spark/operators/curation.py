@@ -153,7 +153,9 @@ def pack_sequences(
     spark = counts.sparkSession
     base = counts.select(
         F.col(id_col).cast("long").alias("docid"),
-        F.col(count_col).cast("long").alias("n_tokens"),
+        # a null count (e.g. a null-text doc upstream) contributes no
+        # tokens; left null it would NaN-poison the Arrow cumsum
+        F.coalesce(F.col(count_col).cast("long"), F.lit(0)).alias("n_tokens"),
     )
     p = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),

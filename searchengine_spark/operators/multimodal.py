@@ -85,6 +85,8 @@ def decode_image_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # media-less doc: no feature row
+                    continue
                 buf = bytes(payload)
                 decoded = _decode_real(buf)
                 if decoded is None:
@@ -123,6 +125,8 @@ def sample_frames(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "frame_idx", "frame_bytes", "frame_checksum")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # media-less doc: no frames
+                    continue
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 n_frames = (arr.size + FRAME_BYTES - 1) // FRAME_BYTES
                 for i in range(0, n_frames, FRAME_STRIDE):

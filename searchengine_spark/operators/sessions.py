@@ -62,12 +62,18 @@ def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
         prev_us.isNull() | (ts_us - prev_us > F.lit(gap_s * 1_000_000)),
         1,
     ).otherwise(0)
-    tagged = events.select(
-        F.col("user_id").cast("long").alias("user_id"),
-        "ts",
-        F.col("event_id").cast("long").alias("event_id"),
-        F.col("value").cast("double").alias("value"),
-    ).withColumn("session_id", F.sum(new_sess).over(w))
+    # a null user cannot be sessionized (and cannot key stateful
+    # streaming state) — dropped identically in the stream twin
+    tagged = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn("session_id", F.sum(new_sess).over(w))
+    )
     return (
         tagged.groupBy("user_id", "session_id")
         .agg(
@@ -85,6 +91,8 @@ def _session_func(gap_minutes: int):
     def fn(
         key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):  # see sessionize: null
+            return  # users are dropped before sessionization
         user_id = int(key[0])
         chunks = [c for c in pdfs if len(c)]
         if not chunks:

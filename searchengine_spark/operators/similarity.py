@@ -66,7 +66,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector has no direction — its cosine is NULL
+    # (ANSI mode would otherwise abort the job on the division), and
+    # NULL drops out of every downstream comparison, rank, and max
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
