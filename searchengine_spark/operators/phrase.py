@@ -143,6 +143,78 @@ def phrase_search_indexed(index, terms: list[str], k: int = 10) -> DataFrame:
     return phrase_search(index.positions, terms, k=k, lexicon=index.lexicon)
 
 
+def proximity_search(
+    positions: DataFrame,
+    terms: list[str],
+    window: int = 8,
+    k: int = 10,
+    lexicon: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k (docid, prox_tf) unordered proximity match (Lucene sloppy
+    / INQUERY #uw-style): ``prox_tf`` counts the occurrences y of the
+    FIRST query term such that every other term occurs within
+    ``window`` tokens of y (|p - y| <= window, either side). Anchoring
+    on the first term (not the rarest) keeps the semantics a pure
+    function of (terms, window), independent of corpus statistics;
+    rank prox_tf DESC, docid ASC.
+
+    Duplicate query terms collapse — proximity is co-occurrence, not
+    sequence. Join ORDER is still rarest-first when a lexicon is given
+    (docid equi-joins commute; intermediates stay bounded by the
+    rarest list while the predicate anchors on terms[0]); a term
+    missing from the lexicon short-circuits to empty (P10 applied to
+    proximity). Same narrow positional plan as phrase_search: per-term
+    pushdown scans, JVM array predicates, no explode of positions."""
+    if not terms:
+        raise ValueError("empty proximity query")
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    uniq = list(dict.fromkeys(terms))
+    spark = positions.sparkSession
+    order = list(range(len(uniq)))
+    if lexicon is not None:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in lexicon.filter(F.col("term").isin(uniq))
+            .select("term", "df")
+            .collect()
+        }
+        if len(dfs) < len(uniq):
+            return spark.createDataFrame([], "docid long, prox_tf long")
+        order = sorted(range(len(uniq)), key=lambda i: (dfs[uniq[i]], i))
+    cur = None
+    for i in order:
+        side = positions.filter(F.col("term") == uniq[i]).select(
+            "docid", F.col("positions").alias(f"p{i}")
+        )
+        cur = side if cur is None else cur.join(side, "docid")
+
+    def within(pi):
+        def pred(y):
+            return F.exists(pi, lambda p: F.abs(p - y) <= F.lit(window))
+
+        return pred
+
+    match = F.col("p0")
+    for i in range(1, len(uniq)):
+        match = F.filter(match, within(F.col(f"p{i}")))
+    return (
+        cur.select("docid", F.size(match).cast("long").alias("prox_tf"))
+        .filter(F.col("prox_tf") > 0)
+        .orderBy(F.col("prox_tf").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def proximity_search_indexed(
+    index, terms: list[str], window: int = 8, k: int = 10
+) -> DataFrame:
+    """Proximity search served from the persisted positional index."""
+    return proximity_search(
+        index.positions, terms, window=window, k=k, lexicon=index.lexicon
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration + DuckDB oracle
 # ---------------------------------------------------------------------------
@@ -204,3 +276,60 @@ LIMIT {_PHRASE_K}
 
 
 register("phrase_search_topk", _q_phrase, _phrase_sql())
+
+_PROX = ["spark", "scan"]  # unordered co-occurrence pair
+_PROX_WINDOW = 3
+_PROX_K = 10
+
+
+def _q_proximity(spark, sf_dir: str) -> DataFrame:
+    from .entry_ops import gate_disk_index
+
+    idx = gate_disk_index(spark, sf_dir)
+    return proximity_search_indexed(
+        idx, _PROX, window=_PROX_WINDOW, k=_PROX_K
+    )
+
+
+def _proximity_sql() -> str:
+    conds = " AND ".join(
+        f"len(list_filter(p{i}.plist, p -> abs(p - y) <= {_PROX_WINDOW})) > 0"
+        for i in range(1, len(_PROX))
+    )
+    joins = "".join(
+        f" JOIN plists p{i} ON p{i}.term = '{t}' AND p{i}.docid = p0.docid"
+        for i, t in enumerate(_PROX[1:], start=1)
+    )
+    return f"""
+WITH d0 AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS pid, text AS content
+  FROM documents
+),
+ds AS (
+  SELECT CAST(row_number() OVER (ORDER BY pid) AS BIGINT) AS docid, pid,
+         string_split(content, ' ') AS toks
+  FROM d0 WHERE len(string_split(content, ' ')) > 0
+),
+tok AS (
+  SELECT docid, toks[i.i] AS term, CAST(i.i - 1 AS BIGINT) AS pos
+  FROM ds, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) i
+  WHERE toks[i.i] <> ''
+),
+plists AS (
+  SELECT term, docid, list(pos ORDER BY pos) AS plist
+  FROM tok GROUP BY term, docid
+),
+matched AS (
+  SELECT p0.docid,
+         CAST(len(list_filter(p0.plist, y -> {conds})) AS BIGINT)
+           AS prox_tf
+  FROM plists p0{joins}
+  WHERE p0.term = '{_PROX[0]}'
+)
+SELECT docid, prox_tf FROM matched WHERE prox_tf > 0
+ORDER BY prox_tf DESC, docid ASC
+LIMIT {_PROX_K}
+"""
+
+
+register("proximity_search_topk", _q_proximity, _proximity_sql())

@@ -1093,3 +1093,43 @@ def test_simhash_plan_has_no_exchange_and_matches_relational_twin(spark):
     got = sorted(map(tuple, simhash(df).collect()))
     assert got == sorted(map(tuple, rel.collect()))
     assert [t[0] for t in got] == [1, 2, 4]  # null-text doc 3 emits no row
+
+
+def test_proximity_search_semantics(spark):
+    """Hand-computed proximity matches: prox_tf counts first-term
+    occurrences with every other term within the window (either side),
+    duplicate query terms collapse, and a missing term short-circuits
+    to empty when a lexicon is supplied."""
+    from searchengine_spark.operators.frames import tokenized_docs
+    from searchengine_spark.operators.phrase import (
+        positions_frame,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a x x b"),          # |b - a| = 3
+            ("d2", "b x a"),            # b BEFORE a, distance 2
+            ("d3", "a y a y b"),        # a at 0 (far) and 2 (near b at 4)
+            ("d4", "a only here"),      # no b at all
+        ],
+        "pid string, content string",
+    )
+    pos = positions_frame(tokenized_docs(docs, stem_stop=False))
+
+    def run(terms, window, lexicon=None):
+        out = proximity_search(pos, terms, window=window, k=10, lexicon=lexicon)
+        return {r.docid: r.prox_tf for r in out.collect()}
+
+    # docids are dense in pid order: d1=1, d2=2, d3=3, d4=4
+    assert run(["a", "b"], window=2) == {2: 1, 3: 1}
+    assert run(["a", "b"], window=3) == {1: 1, 2: 1, 3: 1}
+    assert run(["a", "b"], window=4) == {1: 1, 2: 1, 3: 2}
+    assert run(["a", "a", "b"], window=2) == run(["a", "b"], window=2)
+    assert run(["b", "a"], window=2) == {2: 1, 3: 1}  # anchor flips to b
+
+    lex = spark.createDataFrame(
+        [("a", 3), ("b", 3)], "term string, df int"
+    )
+    assert run(["a", "b"], window=2, lexicon=lex) == {2: 1, 3: 1}
+    assert run(["a", "zzz"], window=2, lexicon=lex) == {}
