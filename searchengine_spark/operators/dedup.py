@@ -62,21 +62,9 @@ PRODUCTION_MINHASH_BANDS = 32
 # cached shingle frames registered here; call release_caches() after
 # materializing results in long-lived sessions (pipelines, REPLs) so
 # executor storage memory doesn't accumulate across dedup calls
-_CACHE_HANDLES: list[DataFrame] = []
+from .cacheutil import make_cache_registry
 
-
-def release_caches() -> None:
-    while _CACHE_HANDLES:
-        try:
-            _CACHE_HANDLES.pop().unpersist()
-        except Exception:
-            pass
-
-
-def _cached(df: DataFrame) -> DataFrame:
-    out = df.cache()
-    _CACHE_HANDLES.append(out)
-    return out
+_cached, release_caches = make_cache_registry()
 
 
 # ---------------------------------------------------------------------------
@@ -250,16 +238,27 @@ def minhash_signatures(
     |shingles| x k rows and no (doc_id, hash_idx) shuffle (which at
     10^12 docs would shuffle ~10^16 rows for k=16). The posexplode
     emits only k rows per doc, map-side."""
-    sh = (
-        df.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            shingle_array(F.col(text_col), n).alias("_sh"),
-        )
-        .filter(F.col("_sh").isNotNull())
-        .withColumn("_bh", base_hash_col(F.col("_sh")))
-    )
+    sh = _shingle_rows(df, n, text_col)
     sig = F.array(*_minhash_cols(F.col("_bh"), k))
     return sh.select("doc_id", F.posexplode(sig).alias("hash_idx", "minhash"))
+
+
+def _shingle_rows(df: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, _sh, _bh): per-doc shingle + base-hash arrays, with
+    signature-less docs DROPPED. A null text yields [NULL] from the
+    shingle builder (slice of a null array), which would otherwise
+    min-fold to an all-NULL signature — and every such doc would share
+    the md5('') band key, making the LSH bucket self-join quadratic in
+    the number of null-text docs on a dirty crawl. array_compact +
+    size>0 drops them exactly like the explode formulation did."""
+    return (
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_compact(shingle_array(F.col(text_col), n)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn("_bh", base_hash_col(F.col("_sh")))
+    )
 
 
 def band_signatures(
@@ -277,16 +276,13 @@ def band_signatures(
     NARROW plan (no shuffle): signatures and band keys are per-row
     column expressions over the doc's shingle array; only ``bands``
     rows per doc leave the map task. Value-identical to the relational
-    explode + min-agg + collect_list formulation it replaced."""
+    explode + min-agg + collect_list formulation it replaced (which
+    requires bands | k — a partial trailing band would diverge from
+    the hash_idx // rows_per_band grouping of the SQL twin)."""
+    if k % bands:
+        raise ValueError(f"bands must divide k (got k={k}, bands={bands})")
     rows_per_band = k // bands
-    sh = (
-        df.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            shingle_array(F.col(text_col), n).alias("_sh"),
-        )
-        .filter(F.col("_sh").isNotNull())
-        .withColumn("_bh", base_hash_col(F.col("_sh")))
-    )
+    sh = _shingle_rows(df, n, text_col)
     sigs = _minhash_cols(F.col("_bh"), k)
     band_structs = F.array(
         *[
@@ -960,6 +956,8 @@ def minhash_ctes_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
     """DuckDB CTEs reproducing ``minhash_signatures`` + banding at any
     (k, bands); expects the ``sh`` shingle CTE in scope. Embeds the
     same affine universal-hash family (a_i, b_i, p) as literals."""
+    if k % bands:
+        raise ValueError(f"bands must divide k (got k={k}, bands={bands})")
     rows_per_band = k // bands
     values = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(_affine_params(k))

@@ -181,7 +181,7 @@ def proximity_search(
         }
         if len(dfs) < len(uniq):
             return spark.createDataFrame([], "docid long, prox_tf long")
-        order = sorted(range(len(uniq)), key=lambda i: (dfs[uniq[i]], i))
+        order = _phrase_join_order(uniq, dfs)
     cur = None
     for i in order:
         side = positions.filter(F.col("term") == uniq[i]).select(
@@ -234,17 +234,13 @@ def _q_phrase(spark, sf_dir: str) -> DataFrame:
     return phrase_search_indexed(idx, _PHRASE, k=_PHRASE_K)
 
 
-def _phrase_sql() -> str:
-    # positions are 0-based offsets into the space-split token stream
-    conds = " AND ".join(
-        f"list_contains(p{i}.plist, x + {i})" for i in range(1, len(_PHRASE))
-    )
-    joins = "".join(
-        f" JOIN plists p{i} ON p{i}.term = '{t}' AND p{i}.docid = p0.docid"
-        for i, t in enumerate(_PHRASE[1:], start=1)
-    )
-    return f"""
-WITH d0 AS (
+def _positional_ctes_sql() -> str:
+    """Shared DuckDB scaffold: corpus -> dense docids -> 0-based
+    positional posting lists (the oracle twin of the positions stage).
+    Both the phrase and the proximity gates build on these CTEs — one
+    definition so the tokenization/docid rules cannot drift apart."""
+    return """
+d0 AS (
   SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS pid, text AS content
   FROM documents
 ),
@@ -261,12 +257,28 @@ tok AS (
 plists AS (
   SELECT term, docid, list(pos ORDER BY pos) AS plist
   FROM tok GROUP BY term, docid
-),
+)"""
+
+
+def _positional_join_sql(terms: list[str]) -> str:
+    return "".join(
+        f" JOIN plists p{i} ON p{i}.term = '{t}' AND p{i}.docid = p0.docid"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+
+
+def _phrase_sql() -> str:
+    # positions are 0-based offsets into the space-split token stream
+    conds = " AND ".join(
+        f"list_contains(p{i}.plist, x + {i})" for i in range(1, len(_PHRASE))
+    )
+    return f"""
+WITH {_positional_ctes_sql()},
 matched AS (
   SELECT p0.docid,
          CAST(len(list_filter(p0.plist, x -> {conds})) AS BIGINT)
            AS phrase_tf
-  FROM plists p0{joins}
+  FROM plists p0{_positional_join_sql(_PHRASE)}
   WHERE p0.term = '{_PHRASE[0]}'
 )
 SELECT docid, phrase_tf FROM matched WHERE phrase_tf > 0
@@ -296,34 +308,13 @@ def _proximity_sql() -> str:
         f"len(list_filter(p{i}.plist, p -> abs(p - y) <= {_PROX_WINDOW})) > 0"
         for i in range(1, len(_PROX))
     )
-    joins = "".join(
-        f" JOIN plists p{i} ON p{i}.term = '{t}' AND p{i}.docid = p0.docid"
-        for i, t in enumerate(_PROX[1:], start=1)
-    )
     return f"""
-WITH d0 AS (
-  SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS pid, text AS content
-  FROM documents
-),
-ds AS (
-  SELECT CAST(row_number() OVER (ORDER BY pid) AS BIGINT) AS docid, pid,
-         string_split(content, ' ') AS toks
-  FROM d0 WHERE len(string_split(content, ' ')) > 0
-),
-tok AS (
-  SELECT docid, toks[i.i] AS term, CAST(i.i - 1 AS BIGINT) AS pos
-  FROM ds, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) i
-  WHERE toks[i.i] <> ''
-),
-plists AS (
-  SELECT term, docid, list(pos ORDER BY pos) AS plist
-  FROM tok GROUP BY term, docid
-),
+WITH {_positional_ctes_sql()},
 matched AS (
   SELECT p0.docid,
          CAST(len(list_filter(p0.plist, y -> {conds})) AS BIGINT)
            AS prox_tf
-  FROM plists p0{joins}
+  FROM plists p0{_positional_join_sql(_PROX)}
   WHERE p0.term = '{_PROX[0]}'
 )
 SELECT docid, prox_tf FROM matched WHERE prox_tf > 0

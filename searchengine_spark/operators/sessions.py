@@ -125,7 +125,11 @@ def _session_func(gap_minutes: int):
                 start_us, n_ev, sum_v = int(t), 0, 0.0
             last_us = int(t)
             n_ev += 1
-            sum_v += float(v)
+            # a NULL value arrives through Arrow as NaN; the batch
+            # twin's F.sum skips NULLs, so skip here too (one NaN
+            # would otherwise poison the whole session's sum)
+            if not pd.isna(v):
+                sum_v += float(v)
         # the still-open session: emit its current shape and carry it in
         # state so the next micro-batch can extend it (last row per
         # (user_id, session_id) wins downstream)

@@ -33,22 +33,10 @@ LSH_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # 1-based dims for 8 sign bits
 # frames cached ahead of self-joins (HOF cosines evaluate interpreted,
 # so re-evaluating an assignment scan per join side is the dominant
 # cost); call release_caches() after materializing results in
-# long-lived sessions, mirroring operators.dedup
-_CACHE_HANDLES: list[DataFrame] = []
+# long-lived sessions, same registry helper as operators.dedup
+from .cacheutil import make_cache_registry
 
-
-def release_caches() -> None:
-    while _CACHE_HANDLES:
-        try:
-            _CACHE_HANDLES.pop().unpersist()
-        except Exception:
-            pass
-
-
-def _cached(df: DataFrame) -> DataFrame:
-    out = df.cache()
-    _CACHE_HANDLES.append(out)
-    return out
+_cached, release_caches = make_cache_registry()
 
 
 def as_double(arr: Column) -> Column:

@@ -1133,3 +1133,30 @@ def test_proximity_search_semantics(spark):
     )
     assert run(["a", "b"], window=2, lexicon=lex) == {2: 1, 3: 1}
     assert run(["a", "zzz"], window=2, lexicon=lex) == {}
+
+
+def test_band_signatures_null_text_and_band_divisibility(spark):
+    """Null-text docs must emit NO band rows (an all-NULL signature
+    would give every such doc the same md5('') band key — a quadratic
+    bucket on a dirty crawl), and a bands value that does not divide k
+    must be rejected on BOTH engines (a partial trailing band would
+    diverge between the per-row and hash_idx// groupings)."""
+    from searchengine_spark.operators.dedup import (
+        band_signatures,
+        minhash_ctes_sql,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    assert sorted(
+        set(r.doc_id for r in band_signatures(df).collect())
+    ) == [1]
+    assert sorted(
+        set(r.doc_id for r in minhash_signatures(df).collect())
+    ) == [1]
+    with pytest.raises(ValueError):
+        band_signatures(df, k=16, bands=5)
+    with pytest.raises(ValueError):
+        minhash_ctes_sql(k=16, bands=5)
