@@ -215,6 +215,85 @@ def proximity_search_indexed(
     )
 
 
+def snippet_windows(
+    positions: DataFrame,
+    doc_tokens: DataFrame,
+    terms: list[str],
+    width: int = 10,
+) -> DataFrame:
+    """Best snippet window per matching doc — the serving-layer result
+    renderer (and the context-window extractor of a training-data
+    pipeline: the ``width`` tokens around a match).
+
+    For every doc containing AT LEAST ONE query term, consider the
+    windows of ``width`` tokens starting at each query-term occurrence
+    and pick the one covering the most DISTINCT query terms; ties go
+    to the earliest start (deterministic). Output: (docid,
+    snippet_start, n_matched_terms, snippet) with ``snippet`` the
+    space-joined token span.
+
+    Plan: the ≤|q| per-term position rows per doc fold into one map
+    column (a |q|-bounded groupBy), candidates and scores are JVM
+    array math over that map — no explode of positions, no window
+    function — and ONE join brings in the token arrays to render the
+    chosen span. ``doc_tokens`` is (docid, tokens): the analyzed
+    stream positions index (Lucene-style highlighting rebuilds the
+    same analysis offsets, IIR ch. 8)."""
+    if not terms:
+        raise ValueError("empty snippet query")
+    if width <= 0:
+        raise ValueError("width must be positive")
+    uniq = list(dict.fromkeys(terms))
+    pmap = (
+        positions.filter(F.col("term").isin(uniq))
+        .groupBy("docid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pmap")
+        )
+    )
+    cand = F.array_sort(
+        F.array_distinct(F.flatten(F.map_values(F.col("pmap"))))
+    )
+    d = pmap.withColumn("_cand", cand)
+
+    def score(x):
+        s = None
+        for t in uniq:
+            hit = F.when(
+                F.exists(
+                    F.coalesce(
+                        F.element_at(F.col("pmap"), t),
+                        F.array().cast("array<int>"),
+                    ),
+                    lambda p: (p >= x) & (p < x + F.lit(width)),
+                ),
+                1,
+            ).otherwise(0)
+            s = hit if s is None else s + hit
+        return s
+
+    best = F.array_max(
+        F.transform(
+            F.col("_cand"),
+            lambda x: F.struct(
+                score(x).alias("s"), (-x).alias("nx"), x.alias("x")
+            ),
+        )
+    )
+    d = d.withColumn("_best", best)
+    out = d.join(doc_tokens.select("docid", "tokens"), "docid")
+    return out.select(
+        "docid",
+        F.col("_best.x").cast("long").alias("snippet_start"),
+        F.col("_best.s").cast("long").alias("n_matched_terms"),
+        F.array_join(
+            F.slice(F.col("tokens"), F.col("_best.x") + 1, width), " "
+        ).alias("snippet"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration + DuckDB oracle
 # ---------------------------------------------------------------------------
@@ -324,3 +403,69 @@ LIMIT {_PROX_K}
 
 
 register("proximity_search_topk", _q_proximity, _proximity_sql())
+
+_SNIP = ["spark", "join"]
+_SNIP_WIDTH = 6
+
+
+def _q_snippets(spark, sf_dir: str) -> DataFrame:
+    """Matching from the PERSISTED positional index; rendering joins
+    the token streams back from the corpus (the index stores no raw
+    text — matching via index + rendering via docstore is the real
+    serving split)."""
+    import __spark_entry__ as entry
+
+    from .entry_ops import gate_disk_index
+    from .frames import tokenized_docs
+
+    idx = gate_disk_index(spark, sf_dir)
+    dt = tokenized_docs(entry._docs(spark, sf_dir), stem_stop=False)
+    return snippet_windows(
+        idx.positions, dt.select("docid", "tokens"), _SNIP, width=_SNIP_WIDTH
+    )
+
+
+def _snippets_sql() -> str:
+    w = _SNIP_WIDTH
+    score = " + ".join(
+        f"(CASE WHEN len(list_filter(q{i}, p -> p >= x AND p < x + {w})) > 0"
+        " THEN 1 ELSE 0 END)"
+        for i in range(len(_SNIP))
+    )
+    qcols = ", ".join(
+        f"coalesce(t{i}.plist, CAST([] AS BIGINT[])) AS q{i}"
+        for i in range(len(_SNIP))
+    )
+    qjoins = "".join(
+        f" LEFT JOIN plists t{i} ON t{i}.docid = cd.docid"
+        f" AND t{i}.term = '{t}'"
+        for i, t in enumerate(_SNIP)
+    )
+    in_list = ", ".join(f"'{t}'" for t in _SNIP)
+    return f"""
+WITH {_positional_ctes_sql()},
+cd AS (
+  SELECT docid, list_sort(list_distinct(flatten(list(plist)))) AS cand
+  FROM plists WHERE term IN ({in_list}) GROUP BY docid
+),
+sc AS (
+  SELECT cd.docid, cd.cand, {qcols}
+  FROM cd{qjoins}
+),
+best AS (
+  SELECT docid,
+         list_max(list_transform(cand,
+           x -> {{'s': {score}, 'nx': -x, 'x': x}})) AS b
+  FROM sc
+)
+SELECT best.docid,
+       CAST(b.x AS BIGINT) AS snippet_start,
+       CAST(b.s AS BIGINT) AS n_matched_terms,
+       array_to_string(
+         ds.toks[CAST(b.x + 1 AS INT) : CAST(b.x + {w} AS INT)], ' ')
+         AS snippet
+FROM best JOIN ds ON ds.docid = best.docid
+"""
+
+
+register("snippet_windows", _q_snippets, _snippets_sql())

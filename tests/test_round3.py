@@ -1160,3 +1160,104 @@ def test_band_signatures_null_text_and_band_divisibility(spark):
         band_signatures(df, k=16, bands=5)
     with pytest.raises(ValueError):
         minhash_ctes_sql(k=16, bands=5)
+
+
+def test_phrase_and_proximity_match_python_reference(spark):
+    """Randomized corpora: phrase_tf and prox_tf must equal a naive
+    pure-Python scan over the token streams (the §5-style oracle
+    strategy applied to the positional operators)."""
+    rng = random.Random(402)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [
+        (i, [rng.choice(vocab) for _ in range(rng.randint(1, 25))])
+        for i in range(1, 41)
+    ]
+    dt = spark.createDataFrame(
+        [(d, len(t), t) for d, t in docs],
+        "docid long, doc_len long, tokens array<string>",
+    )
+    from searchengine_spark.operators.phrase import (
+        phrase_search,
+        positions_frame,
+        proximity_search,
+    )
+
+    pos = positions_frame(dt)
+
+    def py_phrase(terms):
+        out = {}
+        for d, toks in docs:
+            n = sum(
+                1
+                for x in range(len(toks) - len(terms) + 1)
+                if toks[x : x + len(terms)] == terms
+            )
+            if n:
+                out[d] = n
+        return out
+
+    def py_prox(terms, w):
+        uniq = list(dict.fromkeys(terms))
+        out = {}
+        for d, toks in docs:
+            pos_of = {t: [i for i, x in enumerate(toks) if x == t] for t in uniq}
+            n = sum(
+                1
+                for y in pos_of[uniq[0]]
+                if all(
+                    any(abs(p - y) <= w for p in pos_of[t]) for t in uniq[1:]
+                )
+            )
+            if n:
+                out[d] = n
+        return out
+
+    for terms in (["a", "b"], ["c", "a", "c"], ["e"]):
+        got = {
+            r.docid: r.phrase_tf
+            for r in phrase_search(pos, terms, k=100).collect()
+        }
+        assert got == py_phrase(terms), ("phrase", terms)
+    for terms, w in ((["a", "b"], 2), (["d", "e", "a"], 4), (["b", "b"], 1)):
+        got = {
+            r.docid: r.prox_tf
+            for r in proximity_search(pos, terms, window=w, k=100).collect()
+        }
+        assert got == py_prox(terms, w), ("prox", terms, w)
+
+
+def test_snippet_windows_hand_computed(spark):
+    """Best window covers the most distinct query terms; ties go to
+    the earliest start; docs with neither term emit no row; rendering
+    slices the analyzed token stream."""
+    from searchengine_spark.operators.frames import tokenized_docs
+    from searchengine_spark.operators.phrase import (
+        positions_frame,
+        snippet_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("p1", "x spark y join z spark join w"),
+            ("p2", "no terms here"),
+            ("p3", "join a b c d e f g spark"),
+        ],
+        "pid string, content string",
+    )
+    dt = tokenized_docs(docs, stem_stop=False)
+    pos = positions_frame(dt)
+    got = {
+        r.docid: (r.snippet_start, r.n_matched_terms, r.snippet)
+        for r in snippet_windows(
+            pos, dt.select("docid", "tokens"), ["spark", "join"], width=4
+        ).collect()
+    }
+    # docids dense in pid order: p1=1, p2=2, p3=3
+    assert got == {
+        1: (1, 2, "spark y join z"),
+        3: (0, 1, "join a b c"),  # both windows score 1 -> earliest
+    }
+    with pytest.raises(ValueError):
+        snippet_windows(pos, dt.select("docid", "tokens"), [], width=4)
+    with pytest.raises(ValueError):
+        snippet_windows(pos, dt.select("docid", "tokens"), ["spark"], width=0)
