@@ -240,6 +240,44 @@ def _q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curated_ctes_sql() -> str:
+    """DuckDB CTE prefix reproducing the curated-corpus composition
+    (shingles, MinHash banding, near-dup losers, quality scores) —
+    shared by the curated-corpus gate and the curated-index capstone
+    so the curation rules cannot drift between them. Ends with CTEs
+    ``losers`` and ``q``."""
+    from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD, minhash_ctes_sql
+    from .textstats import QUALITY_MARKERS, _markers_sql
+
+    return f"""{_SHINGLES_CTE},
+{minhash_ctes_sql(PIPELINE_MINHASH_K, PIPELINE_MINHASH_BANDS)},
+losers AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}
+),
+f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains({_markers_sql(QUALITY_MARKERS)}, t)))
+              AS DOUBLE) AS sw,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(CAST(
+           (CASE WHEN n >= 10 AND n <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_chars / n >= 3.0 AND n_chars / n <= 10.0 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN sw / n >= 0.01 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN nd / n >= 0.1 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2)
+           AS quality_score
+  FROM f
+)"""
+
+
 def _register() -> None:
     import __spark_entry__ as entry
 
@@ -326,33 +364,7 @@ FROM events GROUP BY 1, 2
         "pipeline_curated_corpus",
         _q_curated_corpus,
         f"""
-WITH {_SHINGLES_CTE},
-{minhash_ctes_sql(PIPELINE_MINHASH_K, PIPELINE_MINHASH_BANDS)},
-losers AS (
-  SELECT DISTINCT c.doc_b AS doc_id
-  FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-  WHERE j.jaccard >= {JACCARD_THRESHOLD}
-),
-f AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(len(list_filter(string_split(text, ' '),
-                  t -> list_contains({_markers_sql(QUALITY_MARKERS)}, t)))
-              AS DOUBLE) AS sw,
-         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
-  FROM documents
-),
-q AS (
-  SELECT doc_id,
-         round(CAST(
-           (CASE WHEN n >= 10 AND n <= 100000 THEN 0.25 ELSE 0.0 END)
-           + (CASE WHEN n_chars / n >= 3.0 AND n_chars / n <= 10.0 THEN 0.25 ELSE 0.0 END)
-           + (CASE WHEN sw / n >= 0.01 THEN 0.25 ELSE 0.0 END)
-           + (CASE WHEN nd / n >= 0.1 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2)
-           AS quality_score
-  FROM f
-)
+WITH {curated_ctes_sql()}
 SELECT doc_id, quality_score FROM q
 WHERE quality_score >= 0.75
   AND doc_id NOT IN (SELECT doc_id FROM losers)
@@ -511,3 +523,64 @@ def _register_code_topk() -> None:
 
 _register()
 _register_code_topk()
+
+
+# ---------------------------------------------------------------------------
+# Capstone composition: curate -> index -> query in one lineage
+# ---------------------------------------------------------------------------
+
+
+def _q_curated_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-pipeline shape: curate the corpus
+    (quality filter + MinHash-LSH near-dup dedup — `_q_curated_corpus`
+    verbatim), build the full index over ONLY the surviving documents
+    (docids re-densify, idf/avgdl shift with the pruned corpus), and
+    serve BM25 top-k. One lineage from raw table to ranked result —
+    proves the curation and engine halves compose, not merely coexist.
+    """
+    from .frames import build_index_frames
+    from .query import top_k
+
+    kept = _q_curated_corpus(spark, sf_dir).select("doc_id")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .join(kept, "doc_id")
+        .select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pid"),
+            F.col("text").alias("content"),
+        )
+    )
+    idx = build_index_frames(docs, stem_stop=False)
+    return top_k(
+        idx, "spark join fast", k=10, conjunctive=False, scoring="bm25",
+        round_decimals=9,
+    )
+
+
+def _register_curated_topk() -> None:
+    import __spark_entry__ as entry
+
+    curated_d0 = (
+        curated_ctes_sql()
+        + """,
+keep AS (
+  SELECT doc_id FROM q
+  WHERE quality_score >= 0.75
+    AND doc_id NOT IN (SELECT doc_id FROM losers)
+),
+d0 AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS pid, text AS content
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)
+)"""
+    )
+    register(
+        "curated_index_topk",
+        _q_curated_index_topk,
+        entry._topk_sql(
+            ["spark", "join", "fast"], "bm25", False, 10,
+            ctes=entry.base_ctes(curated_d0),
+        ),
+    )
+
+
+_register_curated_topk()
