@@ -584,3 +584,97 @@ d0 AS (
 
 
 _register_curated_topk()
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback expansion gate
+# ---------------------------------------------------------------------------
+
+_PRF_QUERY = ["spark", "join"]
+_PRF_FB_DOCS = 5
+_PRF_FB_TERMS = 2
+_PRF_K = 10
+
+
+def _q_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM-family query expansion end-to-end: first-pass BM25, ordered
+    TF-IDF-mass expansion-term selection from the feedback docs,
+    second-pass BM25 over (original + expansion) terms — every float
+    fold ordered, so term selection AND final ranks are oracle-exact."""
+    import __spark_entry__ as entry
+
+    from .query import prf_top_k
+
+    idx = _frames(spark, sf_dir)
+    return prf_top_k(
+        idx, " ".join(_PRF_QUERY), k=_PRF_K, fb_docs=_PRF_FB_DOCS,
+        fb_terms=_PRF_FB_TERMS, scoring="bm25",
+        round_decimals=entry.ROUND,
+    )
+
+
+def _register_prf() -> None:
+    import __spark_entry__ as entry
+
+    score = entry._score_sql("bm25")
+    r = entry.ROUND
+    orig_vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(_PRF_QUERY))
+    not_in = ", ".join(f"'{t}'" for t in _PRF_QUERY)
+    register(
+        "prf_expanded_topk",
+        _q_prf_topk,
+        f"""
+WITH {entry._BASE_CTES},
+q1(term, tidx) AS (VALUES {orig_vals}),
+s1 AS (
+  SELECT p.docid, q1.tidx, {score} AS partial
+  FROM p JOIN q1 ON p.term = q1.term JOIN lex l ON l.term = q1.term
+),
+a1 AS (
+  SELECT docid,
+         round(CAST(list_sum(list(partial ORDER BY tidx)) AS DOUBLE), {r})
+           AS score
+  FROM s1 GROUP BY docid
+),
+fb AS (SELECT docid FROM a1 ORDER BY score DESC, docid ASC
+       LIMIT {_PRF_FB_DOCS}),
+cand AS (
+  SELECT p.term, p.docid,
+         log10((SELECT nd FROM n) / CAST(l.df AS DOUBLE))
+           * (1.0 + log10(CAST(p.tf AS DOUBLE))) AS w
+  FROM p JOIN lex l ON l.term = p.term
+  WHERE p.docid IN (SELECT docid FROM fb)
+    AND p.term NOT IN ({not_in})
+),
+ws AS (
+  SELECT term, round(CAST(list_sum(list(w ORDER BY docid)) AS DOUBLE), 9)
+           AS fb_score
+  FROM cand GROUP BY term
+),
+exp AS (
+  SELECT term,
+         CAST({len(_PRF_QUERY) - 1}
+              + row_number() OVER (ORDER BY fb_score DESC, term ASC) AS INT)
+           AS tidx
+  FROM ws ORDER BY fb_score DESC, term ASC LIMIT {_PRF_FB_TERMS}
+),
+qx AS (SELECT term, tidx FROM q1 UNION ALL SELECT term, tidx FROM exp),
+scored AS (
+  SELECT p.docid, qx.tidx, {score} AS partial
+  FROM p JOIN qx ON p.term = qx.term JOIN lex l ON l.term = qx.term
+),
+agg AS (
+  SELECT docid,
+         round(CAST(list_sum(list(partial ORDER BY tidx)) AS DOUBLE), {r})
+           AS score
+  FROM scored GROUP BY docid
+)
+SELECT a.docid, ds.pid, a.score
+FROM agg a JOIN ds USING (docid)
+ORDER BY a.score DESC, a.docid ASC
+LIMIT {_PRF_K}
+""",
+    )
+
+
+_register_prf()

@@ -180,12 +180,28 @@ def top_k(
     ``round_decimals`` rounds the score BEFORE the order-by/limit — used
     by cross-engine oracles so that tie-breaking (score DESC, docid ASC)
     is decided on the same rounded values both sides."""
+    stem_stop = index.manifest["flags"]["stem_stop"]
+    terms = query_terms(text, stem_stop)
+    return top_k_terms(index, terms, k, conjunctive, scoring, round_decimals)
+
+
+def top_k_terms(
+    index: InvertedIndex,
+    terms: list[str],
+    k: int = 10,
+    conjunctive: bool = False,
+    scoring: str = "bm25",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """``top_k`` over an ALREADY-ANALYZED, order-preserving-deduped term
+    list (the partial-score fold order IS this list's order). Used by
+    ``top_k`` after the analysis chain and by pseudo-relevance-feedback
+    expansion, whose expansion terms are index terms — re-running the
+    analysis chain on them could re-stem or re-clean them."""
     spark = index.spark
     stats = index.stats
-    stem_stop = index.manifest["flags"]["stem_stop"]
     avgdl = stats["total_doc_len"] / stats["n_docs"]
 
-    terms = query_terms(text, stem_stop)
     empty = spark.createDataFrame([], "docid long, pid string, score double")
     if not terms:
         return empty
@@ -254,4 +270,71 @@ def top_k(
         .select("docid", "pid", "score")
         .coalesce(1)
         .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
+    )
+
+
+def prf_top_k(
+    index: InvertedIndex,
+    text: str,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    scoring: str = "bm25",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    RM-family, see IIR ch. 9): run the query, treat the top ``fb_docs``
+    results as relevant, add the ``fb_terms`` strongest terms from
+    those documents to the query, and re-run.
+
+    Expansion-term weight = the TF-IDF mass of the term inside the
+    feedback set: fold of idf * (1 + log10 tf) over the feedback docs
+    in DOCID ORDER (float addition is not associative — the ordered
+    fold keeps the weight, and therefore the selected terms and their
+    order, bit-reproducible across engines). Original query terms are
+    excluded; ties break term-ascending; expansion terms append AFTER
+    the original terms, so the final score fold order is (original
+    query order, then expansion-weight order) — deterministic.
+
+    Driver traffic: fb_docs + fb_terms rows (same class as the k-row
+    result collects); both passes are the ordinary top-k plan."""
+    stem_stop = index.manifest["flags"]["stem_stop"]
+    orig = query_terms(text, stem_stop)
+    first = top_k(
+        index, text, k=fb_docs, scoring=scoring, round_decimals=round_decimals
+    )
+    fb_ids = [r["docid"] for r in first.collect()]
+    if not fb_ids:
+        return first
+    cand = index.postings.filter(
+        F.col("docid").isin(fb_ids) & ~F.col("term").isin(orig)
+    ).join(index.lexicon.select("term", "idf"), "term")
+    w = (F.col("idf") * (F.lit(1.0) + F.log10(F.col("tf").cast("double")))).alias(
+        "w"
+    )
+    weights = (
+        cand.select("term", "docid", w)
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("docid", "w"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["w"],
+                ),
+                9,
+            ).alias("fb_score")
+        )
+    )
+    expansion = [
+        r["term"]
+        for r in weights.orderBy(
+            F.col("fb_score").desc(), F.col("term").asc()
+        )
+        .limit(fb_terms)
+        .collect()
+    ]
+    return top_k_terms(
+        index, orig + expansion, k=k, conjunctive=False, scoring=scoring,
+        round_decimals=round_decimals,
     )

@@ -1261,3 +1261,40 @@ def test_snippet_windows_hand_computed(spark):
         snippet_windows(pos, dt.select("docid", "tokens"), [], width=4)
     with pytest.raises(ValueError):
         snippet_windows(pos, dt.select("docid", "tokens"), ["spark"], width=0)
+
+
+def test_prf_expansion_pulls_in_feedback_terms(spark, tmp_path):
+    """PRF: feedback from the top docs adds the dominant co-occurring
+    term, and a doc containing ONLY the expansion term enters the
+    result set (it cannot match the original query)."""
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        InvertedIndex,
+        build_index,
+    )
+    from searchengine_spark.operators.query import prf_top_k, top_k
+
+    docs = spark.createDataFrame(
+        [
+            # alpha dominates the feedback docs' tf-idf mass (its idf
+            # must be positive, so it may NOT appear in every doc)
+            ("d1", "spark join " + "alpha " * 8),
+            ("d2", "spark join alpha beta"),
+            ("d3", "alpha gamma delta"),
+            ("d4", "beta epsilon zeta"),
+            ("d5", "unrelated words here"),
+        ],
+        "pid string, content string",
+    )
+    d = str(tmp_path / "prfidx")
+    build_index(docs, d, IndexConfig(stem_stop=False, compression=False))
+    idx = InvertedIndex.load(spark, d)
+    plain = {r.pid for r in top_k(idx, "spark join", k=10).collect()}
+    assert plain == {"d1", "d2"}
+    prf = {
+        r.pid
+        for r in prf_top_k(
+            idx, "spark join", k=10, fb_docs=2, fb_terms=1
+        ).collect()
+    }
+    assert prf == {"d1", "d2", "d3"}  # alpha expanded the query
