@@ -550,7 +550,14 @@ def _q_curated_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").alias("content"),
         )
     )
-    idx = build_index_frames(docs, stem_stop=False)
+    try:
+        idx = build_index_frames(docs, stem_stop=False)
+    except ValueError:
+        # curation rejected every document: no corpus, no hits (the
+        # oracle's empty d0 likewise aggregates to zero rows)
+        return spark.createDataFrame(
+            [], "docid long, pid string, score double"
+        )
     return top_k(
         idx, "spark join fast", k=10, conjunctive=False, scoring="bm25",
         round_decimals=9,
