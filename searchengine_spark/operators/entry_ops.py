@@ -68,6 +68,7 @@ def _load() -> None:
         return
     _LOADED = True
     from . import (  # noqa: F401
+        bpe,
         codestats,
         curation,
         dedup,

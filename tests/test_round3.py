@@ -1298,3 +1298,83 @@ def test_prf_expansion_pulls_in_feedback_terms(spark, tmp_path):
         ).collect()
     }
     assert prf == {"d1", "d2", "d3"}  # alpha expanded the query
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    """The Spark BPE trainer must learn exactly the merge sequence of
+    the textbook reference implementation (count adjacent pairs, merge
+    the most frequent greedily leftmost, ties lexicographic), and
+    bpe_segment must reproduce the reference segmentation."""
+    from searchengine_spark.operators.bpe import (
+        bpe_learn,
+        bpe_pair_counts,
+        bpe_segment,
+    )
+
+    rng = random.Random(77)
+    vocab = ["low", "lower", "lowest", "newer", "wider", "new"]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(2, 12))) for _ in range(25)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def py_words():
+        out = []
+        for t in texts:
+            out.extend([list(w) for w in t.split(" ") if w])
+        return out
+
+    def py_counts(words):
+        c = {}
+        for w in words:
+            for a, b in zip(w, w[1:]):
+                c[(a, b)] = c.get((a, b), 0) + 1
+        return c
+
+    def py_merge(w, left, right):
+        out = []
+        for s in w:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return out
+
+    def py_learn(n):
+        words, merges = py_words(), []
+        for _ in range(n):
+            c = py_counts(words)
+            if not c:
+                break
+            # deterministic tie-break: max count, then lexicographically
+            # smallest (left, right)
+            m = max(c.values())
+            best = min([k for k, v in c.items() if v == m])
+            if c[best] < 2:
+                break
+            merges.append(best)
+            words = [py_merge(w, *best) for w in words]
+        return merges, words
+
+    want_counts = py_counts(py_words())
+    got_counts = {
+        (r.pair_left, r.pair_right): r.cnt
+        for r in bpe_pair_counts(docs).collect()
+    }
+    assert got_counts == want_counts
+
+    want_merges, _ = py_learn(6)
+    got_merges = bpe_learn(docs, 6, checkpoint_every=3)
+    assert got_merges == want_merges
+
+    seg = {
+        r.w: list(r.pieces)
+        for r in bpe_segment(docs, got_merges).collect()
+    }
+    for w in vocab:
+        pieces = list(w)
+        for m in want_merges:
+            pieces = py_merge(pieces, *m)
+        assert seg[w] == pieces, w
