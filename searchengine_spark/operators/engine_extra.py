@@ -244,8 +244,8 @@ def curated_ctes_sql() -> str:
     """DuckDB CTE prefix reproducing the curated-corpus composition
     (shingles, MinHash banding, near-dup losers, quality scores) —
     shared by the curated-corpus gate and the curated-index capstone
-    so the curation rules cannot drift between them. Ends with CTEs
-    ``losers`` and ``q``."""
+    so the curation rules — including the final keep predicate —
+    cannot drift between them. Ends with CTE ``keep``."""
     from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD, minhash_ctes_sql
     from .textstats import QUALITY_MARKERS, _markers_sql
 
@@ -275,6 +275,11 @@ q AS (
            + (CASE WHEN nd / n >= 0.1 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2)
            AS quality_score
   FROM f
+),
+keep AS (
+  SELECT doc_id FROM q
+  WHERE quality_score >= 0.75
+    AND doc_id NOT IN (SELECT doc_id FROM losers)
 )"""
 
 
@@ -357,17 +362,13 @@ FROM events GROUP BY 1, 2
         _q_topk_blockmax,
         entry._topk_sql(["hash", "merge", "spark"], "bm25", False, 10),
     )
-    from .dedup import _SHINGLES_CTE, JACCARD_THRESHOLD, minhash_ctes_sql
-    from .textstats import QUALITY_MARKERS, _markers_sql
-
     register(
         "pipeline_curated_corpus",
         _q_curated_corpus,
         f"""
 WITH {curated_ctes_sql()}
-SELECT doc_id, quality_score FROM q
-WHERE quality_score >= 0.75
-  AND doc_id NOT IN (SELECT doc_id FROM losers)
+SELECT q.doc_id, q.quality_score
+FROM q JOIN keep ON keep.doc_id = q.doc_id
 """,
     )
 
@@ -570,11 +571,6 @@ def _register_curated_topk() -> None:
     curated_d0 = (
         curated_ctes_sql()
         + """,
-keep AS (
-  SELECT doc_id FROM q
-  WHERE quality_score >= 0.75
-    AND doc_id NOT IN (SELECT doc_id FROM losers)
-),
 d0 AS (
   SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS pid, text AS content
   FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)

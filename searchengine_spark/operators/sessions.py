@@ -107,14 +107,19 @@ def _session_func(gap_minutes: int):
 
         if state.exists:
             sid, start_us, last_us, n_ev, sum_v = state.get
+            if sum_v is not None and pd.isna(sum_v):
+                sum_v = None  # a NULL stored in the double slot
         else:
-            sid, start_us, last_us, n_ev, sum_v = 0, None, None, 0, 0.0
+            sid, start_us, last_us, n_ev, sum_v = 0, None, None, 0, None
 
         out = []
 
         def emit(sid, start_us, last_us, n_ev, sum_v):
             out.append(
-                (user_id, sid, start_us, last_us, n_ev, round(sum_v, ROUND))
+                (
+                    user_id, sid, start_us, last_us, n_ev,
+                    None if sum_v is None else round(sum_v, ROUND),
+                )
             )
 
         for t, v in zip(ts_us, vals):
@@ -122,19 +127,29 @@ def _session_func(gap_minutes: int):
                 if last_us is not None:
                     emit(sid, start_us, last_us, n_ev, sum_v)  # closed
                 sid += 1
-                start_us, n_ev, sum_v = int(t), 0, 0.0
+                start_us, n_ev, sum_v = int(t), 0, None
             last_us = int(t)
             n_ev += 1
-            # a NULL value arrives through Arrow as NaN; the batch
-            # twin's F.sum skips NULLs, so skip here too (one NaN
-            # would otherwise poison the whole session's sum)
+            # a NULL value arrives through Arrow as NaN. The batch
+            # twin's F.sum SKIPS NULLs but returns NULL when every
+            # value is NULL — so the accumulator starts as None and
+            # only becomes numeric at the first real value (a plain
+            # 0.0 start would emit 0.0 where the batch emits NULL)
             if not pd.isna(v):
-                sum_v += float(v)
+                sum_v = float(v) if sum_v is None else sum_v + float(v)
         # the still-open session: emit its current shape and carry it in
         # state so the next micro-batch can extend it (last row per
         # (user_id, session_id) wins downstream)
         emit(sid, start_us, last_us, n_ev, sum_v)
-        state.update((sid, int(start_us), int(last_us), int(n_ev), float(sum_v)))
+        state.update(
+            (
+                sid,
+                int(start_us),
+                int(last_us),
+                int(n_ev),
+                None if sum_v is None else float(sum_v),
+            )
+        )
 
         pdf = pd.DataFrame(
             out,

@@ -1378,3 +1378,54 @@ def test_bpe_learn_matches_python_reference(spark):
         for m in want_merges:
             pieces = py_merge(pieces, *m)
         assert seg[w] == pieces, w
+
+
+def test_sessionize_null_value_semantics(spark, tmp_path):
+    """An all-NULL-value session must yield sum_value = NULL from BOTH
+    twins (F.sum over all-NULLs is NULL), and a mixed session sums only
+    the non-null values — the batch/stream equality must hold on dirty
+    event data, not just the clean corpus."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.operators.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: one session, BOTH values null
+        (1, t0, 1, None),
+        (2, t0 + dt.timedelta(seconds=10), 1, None),
+        # user 2: one session, null + 3.5
+        (3, t0, 2, None),
+        (4, t0 + dt.timedelta(seconds=10), 2, 3.5),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["t"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(src / "events.parquet"),
+    )
+    batch = {
+        (r.user_id, r.session_id, r.n_events, r.sum_value)
+        for r in sessionize(spark.read.parquet(str(src))).collect()
+    }
+    stream = {
+        (r.user_id, r.session_id, r.n_events, r.sum_value)
+        for r in sessionize_stream(spark, str(src)).collect()
+    }
+    assert batch == {(1, 1, 2, None), (2, 1, 2, 3.5)}
+    assert stream == batch
