@@ -30,6 +30,8 @@ from .entry_ops import register
 
 FRAME_BYTES = 64  # stub "video": fixed-size frames
 FRAME_STRIDE = 4  # sample every 4th frame
+IMG_WIDTH = 32  # stub "image": row-major width in bytes
+RESIZE_FACTOR = 2  # nearest-neighbor downsample stride
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -140,6 +142,57 @@ def sample_frames(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(frames, _FRAME_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_sha256", T.StringType()),
+    ]
+)
+
+
+def resize_payloads(
+    df: DataFrame, width: int = IMG_WIDTH, factor: int = RESIZE_FACTOR
+) -> DataFrame:
+    """Resize stub: treat each payload as a row-major ``width``-byte
+    image and nearest-neighbor downsample by ``factor`` (keep byte p
+    iff (p div width) % factor == 0 AND (p mod width) % factor == 0) —
+    the 1/f² pixel-drop a real thumbnailer performs, minus the codec.
+    numpy boolean-mask gather per Arrow batch; emits the resized
+    payload's size + sha256 (the lineage columns a downstream stage
+    carries). The fan-in shape (1 row -> 1 smaller row) is the real
+    image-pipeline resize stage; only bytes-as-pixels is fake."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # media-less doc: no resize row
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                p = np.arange(arr.size)
+                mask = ((p // width) % factor == 0) & (
+                    (p % width) % factor == 0
+                )
+                out = arr[mask].tobytes()
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "orig_bytes": int(arr.size),
+                        "resized_bytes": len(out),
+                        "resized_sha256": hashlib.sha256(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RESIZE_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(resize, _RESIZE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -199,5 +252,28 @@ SELECT doc_id, frame_idx,
        CAST(list_sum(list_transform(string_split(chunk, ''), c -> ord(c)))
             AS BIGINT) AS frame_checksum
 FROM fr
+""",
+)
+
+register(
+    "multimodal_resize",
+    lambda spark, sf_dir: resize_payloads(_payloads(spark, sf_dir)),
+    f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, nb, i.i AS i, substr(text, CAST(i.i AS INT), 1) AS c
+  FROM p, LATERAL (SELECT unnest(range(1, nb + 1)) AS i) i
+  WHERE ((i.i - 1) // {IMG_WIDTH}) % {RESIZE_FACTOR} = 0
+    AND ((i.i - 1) % {IMG_WIDTH}) % {RESIZE_FACTOR} = 0
+)
+SELECT doc_id,
+       CAST(any_value(nb) AS BIGINT) AS orig_bytes,
+       CAST(count(*) AS BIGINT) AS resized_bytes,
+       sha256(string_agg(c, '' ORDER BY i)) AS resized_sha256
+FROM kept GROUP BY doc_id
 """,
 )
