@@ -160,6 +160,13 @@ def main() -> None:
         batch500_sec = time.time() - tq
         timings["trec_batch_500q"] = round(batch500_sec, 3)
 
+        # the reference's own batch configuration is k=100
+        # (QueryPerformancesMain.java:28) — same one-join plan, deeper
+        # per-qid window rank
+        tq = time.time()
+        batch_top_k(idx, batch_qs, k=100).count()
+        timings["trec_batch_50q_k100"] = round(time.time() - tq, 3)
+
         # training-data pipeline ops at the same sf
         from searchengine_spark.operators.dedup import minhash_lsh_pairs
         from searchengine_spark.operators.similarity import cosine_topk
