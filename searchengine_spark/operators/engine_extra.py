@@ -681,3 +681,95 @@ LIMIT {_PRF_K}
 
 
 _register_prf()
+
+
+# ---------------------------------------------------------------------------
+# Fielded code search: content BM25 + filename-field boost
+# ---------------------------------------------------------------------------
+
+_FIELDED_TERMS = ["spark", "join", "fast"]
+_FIELDED_W = 1.0
+
+
+def _q_code_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code search over the north-rule table where the FILENAME carries
+    signal: paths embed each doc's first token, so a query term in the
+    path adds boost_weight * idf on top of the content BM25 — ranks
+    shift for path-hit docs, oracle-exact through the re-derived pid."""
+    from .frames import build_index_frames
+    from .indexer import docs_from_code_table
+    from .query import fielded_top_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    code = docs.select(
+        F.concat(F.lit("repo"), (F.col("doc_id") % 7).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(
+            F.lit("src/"),
+            F.element_at(F.split(F.col("text"), " "), 1),
+            F.lit(".py"),
+        ).alias("path"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
+            "commit"
+        ),
+        F.lit("py").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = build_index_frames(docs_from_code_table(code), stem_stop=False)
+    return fielded_top_k(
+        idx, " ".join(_FIELDED_TERMS), k=10, boost_weight=_FIELDED_W,
+        scoring="bm25", round_decimals=9,
+    )
+
+
+def _register_fielded() -> None:
+    import __spark_entry__ as entry
+
+    fielded_d0 = """
+d0 AS (
+  SELECT substr('repo' || CAST(doc_id % 7 AS VARCHAR) || '/' ||
+                'src/' || string_split(text, ' ')[1] || '.py' ||
+                '@' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                1, 64) AS pid,
+         text AS content
+  FROM documents
+)"""
+    score = entry._score_sql("bm25")
+    vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(_FIELDED_TERMS))
+    # left-associative chain in QUERY-TERM order, matching the engine's
+    # literal boost chain (float addition order is part of the contract)
+    boost = " + ".join(
+        f"(CASE WHEN list_contains(string_split_regex(ds.pid, '[/@.]'),"
+        f" '{t}') THEN (SELECT log10((SELECT nd FROM n) / CAST(df AS DOUBLE))"
+        f" FROM lex WHERE term = '{t}') ELSE 0.0 END)"
+        for t in _FIELDED_TERMS
+    )
+    register(
+        "code_search_fielded",
+        _q_code_search_fielded,
+        f"""
+WITH {entry.base_ctes(fielded_d0)},
+qx(term, tidx) AS (VALUES {vals}),
+scored AS (
+  SELECT p.docid, qx.tidx, {score} AS partial
+  FROM p JOIN qx ON p.term = qx.term JOIN lex l ON l.term = qx.term
+),
+agg AS (
+  SELECT docid, CAST(list_sum(list(partial ORDER BY tidx)) AS DOUBLE)
+           AS score
+  FROM scored GROUP BY docid
+),
+boosted AS (
+  SELECT a.docid, ds.pid,
+         round(a.score + {_FIELDED_W} * ({boost}), 9) AS score
+  FROM agg a JOIN ds USING (docid)
+)
+SELECT docid, pid, score FROM boosted
+ORDER BY score DESC, docid ASC
+LIMIT 10
+""",
+    )
+
+
+_register_fielded()

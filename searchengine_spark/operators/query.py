@@ -185,6 +185,57 @@ def top_k(
     return top_k_terms(index, terms, k, conjunctive, scoring, round_decimals)
 
 
+def _resolve_idf(index: InvertedIndex, terms: list[str]) -> dict[str, float]:
+    """Lexicon point lookup: <= |q| rows (Vocabulary.getEntry; parquet
+    min/max pruning plays the binary-search role). A warmed index
+    answers from the driver-side lexicon memo with zero Spark jobs."""
+    lmap = getattr(index, "lexicon_map", None)
+    if lmap is not None:
+        return {t: lmap[t]["idf"] for t in terms if t in lmap}
+    lex_rows = (
+        index.lexicon.filter(F.col("term").isin(terms))
+        .select("term", "idf")
+        .collect()
+    )
+    return {r["term"]: r["idf"] for r in lex_rows}
+
+
+def _content_agg(
+    index: InvertedIndex,
+    present: list[str],
+    idf_by_term: dict[str, float],
+    scoring: str,
+) -> DataFrame:
+    """(docid, score UNROUNDED, n_terms): per-doc partial-score fold in
+    query-term order. DAAT sums a doc's partials in query-term order
+    (DAAT.java:139-162); float addition is not associative, so fold an
+    ordered array rather than F.sum (whose order is shuffle-dependent)
+    for bit-exact parity. idf and term position are injected as
+    literal maps — no lexicon join in the hot path."""
+    stats = index.stats
+    avgdl = stats["total_doc_len"] / stats["n_docs"]
+    idf_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, float(idf_by_term[t]))]
+    )
+    pos_map = F.create_map(
+        *[F.lit(x) for i, t in enumerate(present) for x in (t, i)]
+    )
+    postings = index.postings.filter(F.col("term").isin(present))
+    scored = postings.select(
+        "docid",
+        pos_map[F.col("term")].alias("term_idx"),
+        score_col(scoring, idf_map[F.col("term")], avgdl).alias("partial"),
+    )
+    return scored.groupBy("docid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term_idx", "partial"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["partial"],
+        ).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+
+
 def top_k_terms(
     index: InvertedIndex,
     terms: list[str],
@@ -199,58 +250,17 @@ def top_k_terms(
     expansion, whose expansion terms are index terms — re-running the
     analysis chain on them could re-stem or re-clean them."""
     spark = index.spark
-    stats = index.stats
-    avgdl = stats["total_doc_len"] / stats["n_docs"]
-
     empty = spark.createDataFrame([], "docid long, pid string, score double")
     if not terms:
         return empty
-
-    # lexicon point lookup: <= |q| rows (Vocabulary.getEntry; parquet
-    # min/max pruning plays the binary-search role). A warmed index
-    # answers from the driver-side lexicon memo with zero Spark jobs.
-    lmap = getattr(index, "lexicon_map", None)
-    if lmap is not None:
-        idf_by_term = {t: lmap[t]["idf"] for t in terms if t in lmap}
-    else:
-        lex_rows = (
-            index.lexicon.filter(F.col("term").isin(terms))
-            .select("term", "idf")
-            .collect()
-        )
-        idf_by_term = {r["term"]: r["idf"] for r in lex_rows}
+    idf_by_term = _resolve_idf(index, terms)
     missing = [t for t in terms if t not in idf_by_term]
     if conjunctive and missing:
         return empty  # conjunctive short-circuit (QueryProcesser.java:61-67)
     present = [t for t in terms if t in idf_by_term]
     if not present:
         return empty
-
-    # idf and term position injected as literal maps — no lexicon join in
-    # the hot path
-    idf_map = F.create_map(
-        *[F.lit(x) for t in present for x in (t, float(idf_by_term[t]))]
-    )
-    pos_map = F.create_map(
-        *[F.lit(x) for i, t in enumerate(present) for x in (t, i)]
-    )
-    postings = index.postings.filter(F.col("term").isin(present))
-    scored = postings.select(
-        "docid",
-        pos_map[F.col("term")].alias("term_idx"),
-        score_col(scoring, idf_map[F.col("term")], avgdl).alias("partial"),
-    )
-    # DAAT sums a doc's partials in query-term order (DAAT.java:139-162);
-    # float addition is not associative, so fold an ordered array rather
-    # than F.sum (whose order is shuffle-dependent) for bit-exact parity.
-    agg = scored.groupBy("docid").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term_idx", "partial"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["partial"],
-        ).alias("score"),
-        F.count("*").alias("n_terms"),
-    )
+    agg = _content_agg(index, present, idf_by_term, scoring)
     if conjunctive:
         agg = agg.filter(F.col("n_terms") == len(present))
     if round_decimals is not None:
@@ -337,4 +347,63 @@ def prf_top_k(
     return top_k_terms(
         index, orig + expansion, k=k, conjunctive=False, scoring=scoring,
         round_decimals=round_decimals,
+    )
+
+
+def fielded_top_k(
+    index: InvertedIndex,
+    text: str,
+    k: int = 10,
+    boost_weight: float = 1.0,
+    scoring: str = "bm25",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Fielded code search: content BM25 plus a FILENAME-FIELD boost —
+    a query term appearing in the document's path contributes
+    ``boost_weight * idf(term)`` on top of the content score (the
+    classic fielded/BM25F intuition specialized to the code table,
+    where pid = repo/path@commit and filename hits are strong
+    relevance signals; Robertson, Zaragoza & Taylor CIKM 2004).
+
+    final = round(content_score + boost_weight * boost, round_decimals)
+    with boost = sum over query terms (in query order — a left-
+    associative literal chain, so the float sum is deterministic) of
+    idf(t) when t appears among the pid's path tokens (pid split on
+    [/@.]). The boost is a per-row JVM expression over doc_stats.pid —
+    no extra join or shuffle beyond top_k's own plan; disjunctive only
+    (a path hit must not resurrect a conjunctive miss)."""
+    terms = query_terms(text, index.manifest["flags"]["stem_stop"])
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, pid string, score double")
+    if not terms:
+        return empty
+    idf_by_term = _resolve_idf(index, terms)
+    present = [t for t in terms if t in idf_by_term]
+    if not present:
+        return empty
+    agg = _content_agg(index, present, idf_by_term, scoring)
+    ptoks = F.split(F.col("pid"), r"[/@.]")
+    boost = None
+    for t in present:
+        term_boost = F.when(
+            F.array_contains(ptoks, t), F.lit(float(idf_by_term[t]))
+        ).otherwise(F.lit(0.0))
+        boost = term_boost if boost is None else boost + term_boost
+    scored = (
+        agg.select("docid", "score")
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .withColumn(
+            "score", F.col("score") + F.lit(float(boost_weight)) * boost
+        )
+    )
+    if round_decimals is not None:
+        scored = scored.withColumn(
+            "score", F.round(F.col("score"), round_decimals)
+        )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
+        .select("docid", "pid", "score")
     )

@@ -1429,3 +1429,36 @@ def test_sessionize_null_value_semantics(spark, tmp_path):
     }
     assert batch == {(1, 1, 2, None), (2, 1, 2, 3.5)}
     assert stream == batch
+
+
+def test_fielded_boost_promotes_filename_hits(spark, tmp_path):
+    """A query term in the document's PATH lifts it above a content-only
+    equal: two docs with identical content, one whose pid embeds the
+    query term, must rank path-hit first under fielded_top_k while
+    plain top_k ties them docid-ascending."""
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        InvertedIndex,
+        build_index,
+    )
+    from searchengine_spark.operators.query import fielded_top_k, top_k
+
+    docs = spark.createDataFrame(
+        [
+            ("a/other.py@1", "spark join words"),
+            ("b/spark.py@2", "spark join words"),
+            # keeps idf('spark') > 0 — the boost is idf-weighted and a
+            # term in EVERY doc has idf 0
+            ("c/noise.py@3", "unrelated filler text"),
+        ],
+        "pid string, content string",
+    )
+    d = str(tmp_path / "fidx")
+    build_index(docs, d, IndexConfig(stem_stop=False, compression=False))
+    idx = InvertedIndex.load(spark, d)
+    plain = [r.pid for r in top_k(idx, "spark join", k=2).collect()]
+    fielded = [
+        r.pid for r in fielded_top_k(idx, "spark join", k=2).collect()
+    ]
+    assert plain == ["a/other.py@1", "b/spark.py@2"]  # tie -> docid asc
+    assert fielded == ["b/spark.py@2", "a/other.py@1"]  # path hit wins
