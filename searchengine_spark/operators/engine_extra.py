@@ -701,20 +701,15 @@ def _q_code_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .query import fielded_top_k
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    code = docs.select(
-        F.concat(F.lit("repo"), (F.col("doc_id") % 7).cast("string")).alias(
-            "repo"
-        ),
+    # the shared synthetic code table, with only the path overridden to
+    # embed the doc's first token (so filename boosts actually fire)
+    code = _synth_code_table(docs).withColumn(
+        "path",
         F.concat(
             F.lit("src/"),
-            F.element_at(F.split(F.col("text"), " "), 1),
+            F.element_at(F.split(F.col("content"), " "), 1),
             F.lit(".py"),
-        ).alias("path"),
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
-            "commit"
         ),
-        F.lit("py").alias("lang"),
-        F.col("text").alias("content"),
     )
     idx = build_index_frames(docs_from_code_table(code), stem_stop=False)
     return fielded_top_k(

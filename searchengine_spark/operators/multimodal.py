@@ -170,8 +170,8 @@ def resize_payloads(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload is None:  # media-less doc: no resize row
-                    continue
+                if not payload:  # media-less or zero-byte doc: nothing
+                    continue  # to resize, no row (oracle-consistent)
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 p = np.arange(arr.size)
                 mask = ((p // width) % factor == 0) & (
@@ -255,18 +255,31 @@ FROM fr
 """,
 )
 
+def _q_resize(spark, sf_dir):
+    """Gate payloads are ASCII-STRIPPED text bytes (the reference's own
+    non-ASCII strip, Spimi.java:255) so byte and character positions
+    coincide and the SQL twin — which can only index characters, DuckDB
+    has no blob subscripting — masks exactly the bytes numpy masks.
+    The operator itself is byte-true for arbitrary binary payloads."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
+    )
+    return resize_payloads(with_binary_payload(docs))
+
+
 register(
     "multimodal_resize",
-    lambda spark, sf_dir: resize_payloads(_payloads(spark, sf_dir)),
+    _q_resize,
     f"""
 WITH p AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
-         octet_length(encode(text)) AS nb
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS t
   FROM documents
 ),
+p2 AS (SELECT doc_id, t, length(t) AS nb FROM p WHERE length(t) > 0),
 kept AS (
-  SELECT doc_id, nb, i.i AS i, substr(text, CAST(i.i AS INT), 1) AS c
-  FROM p, LATERAL (SELECT unnest(range(1, nb + 1)) AS i) i
+  SELECT doc_id, nb, i.i AS i, substr(t, CAST(i.i AS INT), 1) AS c
+  FROM p2, LATERAL (SELECT unnest(range(1, nb + 1)) AS i) i
   WHERE ((i.i - 1) // {IMG_WIDTH}) % {RESIZE_FACTOR} = 0
     AND ((i.i - 1) % {IMG_WIDTH}) % {RESIZE_FACTOR} = 0
 )
