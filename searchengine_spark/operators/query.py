@@ -369,9 +369,16 @@ def fielded_top_k(
     with boost = sum over query terms (in query order — a left-
     associative literal chain, so the float sum is deterministic) of
     idf(t) when t appears among the pid's path tokens (pid split on
-    [/@.]). The boost is a per-row JVM expression over doc_stats.pid —
-    no extra join or shuffle beyond top_k's own plan; disjunctive only
-    (a path hit must not resurrect a conjunctive miss)."""
+    [/@.]). The boost itself is a per-row JVM expression; disjunctive
+    only (a path hit must not resurrect a conjunctive miss).
+
+    Scale note: unlike top_k (which joins pids onto the k winners
+    AFTER the limit), field scoring needs the pid BEFORE ranking, so
+    the match set joins doc_stats on docid pre-limit — one extra
+    docid-keyed hash join sized by the match set. An index that
+    MATERIALIZES path tokens as indexed fields (the BM25F layout
+    proper) would fold the boost into the postings scan; this
+    join-time variant keeps the index layout unchanged."""
     terms = query_terms(text, index.manifest["flags"]["stem_stop"])
     spark = index.spark
     empty = spark.createDataFrame([], "docid long, pid string, score double")
