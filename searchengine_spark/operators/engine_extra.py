@@ -735,9 +735,12 @@ d0 AS (
     # left-associative chain in QUERY-TERM order, matching the engine's
     # literal boost chain (float addition order is part of the contract)
     boost = " + ".join(
+        # coalesce mirrors the engine's missing-term-contributes-zero rule:
+        # a term absent from the lexicon must not NULL-poison the chain
         f"(CASE WHEN list_contains(string_split_regex(ds.pid, '[/@.]'),"
-        f" '{t}') THEN (SELECT log10((SELECT nd FROM n) / CAST(df AS DOUBLE))"
-        f" FROM lex WHERE term = '{t}') ELSE 0.0 END)"
+        f" '{t}') THEN coalesce((SELECT log10((SELECT nd FROM n) /"
+        f" CAST(df AS DOUBLE)) FROM lex WHERE term = '{t}'), 0.0)"
+        f" ELSE 0.0 END)"
         for t in _FIELDED_TERMS
     )
     register(

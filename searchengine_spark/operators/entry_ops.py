@@ -42,18 +42,43 @@ def gate_disk_index(spark: SparkSession, sf_dir: str):
     dir, so gate runs never resume stale stages."""
     idx = _DISK_IDX.get(sf_dir)
     if idx is None:
+        import hashlib
+        import json
+        import os
+        import shutil
         import tempfile
 
         import __spark_entry__ as entry
 
         from .indexer import IndexConfig, InvertedIndex, build_index
 
-        tmp = tempfile.mkdtemp(prefix="se_gate_idx_")
-        build_index(
-            entry._docs(spark, sf_dir),
-            tmp,
-            IndexConfig(stem_stop=False, compression=False, positions=True),
-        )
+        # Deterministic cache path keyed by corpus identity (path + file
+        # mtimes/sizes) so repeated gate/test runs in separate processes
+        # reuse ONE directory instead of leaking a fresh mkdtemp each time.
+        key_parts = [os.path.abspath(sf_dir), "stem_stop=0,comp=0,pos=1"]
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        try:
+            if os.path.isdir(docs_path):
+                for f in sorted(os.listdir(docs_path)):
+                    st = os.stat(os.path.join(docs_path, f))
+                    key_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            else:
+                st = os.stat(docs_path)
+                key_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            pass
+        key = hashlib.sha256("|".join(key_parts).encode()).hexdigest()[:16]
+        tmp = os.path.join(tempfile.gettempdir(), f"se_gate_idx_{key}")
+        marker = os.path.join(tmp, "_GATE_INDEX_OK")
+        if not os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+            build_index(
+                entry._docs(spark, sf_dir),
+                tmp,
+                IndexConfig(stem_stop=False, compression=False, positions=True),
+            )
+            with open(marker, "w") as fh:
+                json.dump({"key": key}, fh)
         idx = InvertedIndex.load(spark, tmp)
         _DISK_IDX[sf_dir] = idx
     return idx

@@ -103,10 +103,21 @@ def _default_fetch_budget(spark) -> int:
     env = os.environ.get("SE_MAXSCORE_FETCH_POSTINGS")
     if env:
         return int(env)
+    # spark.driver.memory lives in the SparkConf, not the runtime SQL
+    # conf — read it there first so large-driver deployments actually
+    # get the larger budget instead of silently landing on the 1g
+    # default (which would flip driver-served queries to the
+    # distributed fallback).
+    mem = None
     try:
-        mem = spark.conf.get("spark.driver.memory", "1g") or "1g"
+        mem = spark.sparkContext.getConf().get("spark.driver.memory", None)
     except Exception:
-        mem = "1g"
+        mem = None
+    if not mem:
+        try:
+            mem = spark.conf.get("spark.driver.memory", "1g") or "1g"
+        except Exception:
+            mem = "1g"
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     m = str(mem).strip().lower()
     mult = units.get(m[-1:], 1)
@@ -116,9 +127,15 @@ def _default_fetch_budget(spark) -> int:
         nbytes = int(float(m)) * mult
     except ValueError:
         nbytes = 1 << 30
-    return max(
+    budget = max(
         1_000_000, int(nbytes // _FETCH_MEM_FRACTION // _BYTES_PER_POSTING)
     )
+    import logging
+
+    logging.getLogger(__name__).debug(
+        "maxscore fetch budget: driver.memory=%s -> %d postings", mem, budget
+    )
+    return budget
 
 
 def _fetch_block_bounds(index, terms: list[str], scoring: str) -> dict:

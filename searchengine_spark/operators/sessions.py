@@ -229,6 +229,7 @@ WITH e AS (
          CAST(event_id AS BIGINT) AS event_id, CAST(value AS DOUBLE) AS value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 tagged AS (
   SELECT user_id, ts, event_id, value,

@@ -114,14 +114,16 @@ def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
     import json
     from pathlib import Path
 
-    from ..operators.indexer import InvertedIndex
+    from ..operators.indexer import InvertedIndex, _n_eff
 
     frames = compact(spark, index_dir)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     frames.doc_stats.write.mode("overwrite").parquet(str(out / "doc_stats"))
     (
-        frames.postings.repartitionByRange("term", "docid")
+        frames.postings.repartitionByRange(
+            _n_eff(spark), "term", "docid"
+        )
         .sortWithinPartitions("term", "docid")
         .write.mode("overwrite")
         .parquet(str(out / "postings"))
