@@ -371,8 +371,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return top_k(idx, "spark shuffle join performance", k=10, scoring="bm25")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
         # index build surface (SURVEY §2.1/2.3)
         "doc_stats": _q_doc_stats,            # S5/S10, A2, lineage sha256
         "postings_tf": _q_postings,           # A1 explode+hash agg
@@ -391,18 +391,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_bm25_maxscore": _q_topk_maxscore,
         "topk_bm25_packed": _q_topk_packed,
     }
+
+
+def queries_unmerged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Pre-consolidation registry: one entry per single operator."""
     from searchengine_spark.operators.entry_ops import extra_queries
 
+    q = _core_queries()
     q.update(extra_queries())
     return q
 
 
-def oracle_sql() -> dict[str, str]:
-    sql = core_oracle_sql()
+def oracle_sql_unmerged() -> dict[str, str]:
+    """Pre-consolidation oracle registry (every single-operator twin)."""
     from searchengine_spark.operators.entry_ops import extra_oracle_sql
 
+    sql = core_oracle_sql()
     sql.update(extra_oracle_sql())
     return sql
+
+
+def _registry():
+    """(queries, oracles) with near-duplicate twins merged so the
+    driver's 50-entry window covers every operator family (see
+    searchengine_spark/operators/gatemerge.py)."""
+    from searchengine_spark.operators.gatemerge import consolidate
+
+    q = queries_unmerged()
+    sql = oracle_sql_unmerged()
+    consolidate(q, sql)
+    return q, sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _registry()[0]
+
+
+def oracle_sql() -> dict[str, str]:
+    return _registry()[1]
 
 
 def core_oracle_sql() -> dict[str, str]:

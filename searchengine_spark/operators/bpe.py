@@ -132,13 +132,76 @@ def bpe_learn(
     return merges
 
 
+def _segment_word(syms: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-based BPE application: repeatedly merge the LOWEST-rank
+    adjacent pair present, all occurrences left-to-right (the standard
+    tokenizer loop — Sennrich apply_bpe / GPT-2 bpe()). Produces the
+    same result as applying the merge list sequentially because a
+    merge can only create pairs involving its (later-ranked) output
+    symbol, never an earlier-ranked pair."""
+    while len(syms) >= 2:
+        best = None
+        best_rank = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (a, b)
+        if best is None:
+            break
+        left, right = best
+        merged = left + right
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = merged  # greedy leftmost, non-overlapping
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
 ) -> DataFrame:
     """(word, pieces): each distinct whitespace word segmented by the
-    learned merge list, applied in learning order."""
+    learned merge list.
+
+    Arrow-batched ``mapInPandas`` with a merge-rank dict: per-word cost
+    depends on the word's own merge opportunities, NOT on the merge-
+    table size — a realistic 32k-merge table would otherwise chain 32k
+    interpreted ``F.aggregate`` folds in one expression, hitting both
+    documented Catalyst traps at once (HOFs never codegen;
+    multi-referenced expression blowup). ``bpe_segment_expr`` keeps the
+    column-expression twin for equality tests at small merge counts."""
+    import pandas as pd
+
+    words = _words(df, text_col).select("w").distinct()
+    ranks = {(lt, rt): i for i, (lt, rt) in enumerate(merges)}
+
+    def seg(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "pieces": [
+                        _segment_word(list(w), ranks) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    return words.mapInPandas(seg, schema="w string, pieces array<string>")
+
+
+def bpe_segment_expr(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Column-expression twin of :func:`bpe_segment` (one JVM fold per
+    merge, applied in learning order). Only viable at small merge
+    counts — kept as the cross-implementation equality oracle."""
     words = _words(df, text_col).select("w", "syms").distinct()
     col = F.col("syms")
     for left, right in merges:

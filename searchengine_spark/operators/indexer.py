@@ -71,6 +71,7 @@ class IndexConfig:
     compression: bool = True     # reference flag -c (packed postings)
     max_score: bool = True       # reference flag -m (Flags.java:11-55)
     positions: bool = False      # beyond-reference: positional postings stage
+    fields: bool = False         # beyond-reference: BM25F field postings
     num_partitions: int | None = None
     overwrite: bool = False      # False => resume from completed stages
 
@@ -110,6 +111,19 @@ class InvertedIndex:
     @property
     def postings_packed(self) -> DataFrame:
         return self._read("postings_packed")
+
+    @property
+    def field_postings(self) -> DataFrame:
+        """BM25F filename-field postings (term, docid) — present only
+        when built with fields=True. Lets fielded_top_k fold the path
+        boost into a term-pushdown scan instead of a match-set-sized
+        doc_stats join."""
+        if not self.manifest.get("flags", {}).get("fields", False):
+            raise ValueError(
+                "index was built without the field-postings stage; rebuild "
+                "with IndexConfig(fields=True) for indexed fielded search"
+            )
+        return self._read("field_postings")
 
     @property
     def positions(self) -> DataFrame:
@@ -181,6 +195,27 @@ def docs_from_code_table(df: DataFrame) -> DataFrame:
         F.substring(pid, 1, 64).alias("pid"),
         F.col("content").cast("string").alias("content"),
     )
+
+
+def field_postings_frame(doc_stats: DataFrame) -> DataFrame:
+    """(term, docid) filename-field postings derived from pid path
+    tokens (pid split on ``[/@.]``, empties dropped, presence-only one
+    row per distinct pair) — the BM25F field layout (Robertson,
+    Zaragoza & Taylor, CIKM 2004) specialized to the code table's
+    filename field. A narrow projection of doc_stats: the build
+    persists it range-partitioned by (term, docid) so fielded search
+    reads boost rows with term pushdown instead of joining the
+    match-set against doc_stats."""
+    return doc_stats.select(
+        "docid",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col("pid"), r"[/@.]"), lambda x: x != ""
+                )
+            )
+        ).alias("term"),
+    ).select("term", "docid")
 
 
 def assign_dense_ids(
@@ -1128,6 +1163,28 @@ def build_index(
             record("positions", t0)
         if cfg.positions:
             manifest["flags"]["positions"] = True
+
+        # ---- stage 7: BM25F field postings (fields flag) ------------------
+        # filename-field (term, docid) pairs in the same (term, docid)
+        # range layout as postings/, so fielded search reads its boost
+        # rows with term pushdown; a narrow projection of doc_stats —
+        # no corpus re-analysis
+        fp_dir = root / "field_postings"
+        if cfg.fields and not _stage_done(fp_dir):
+            t0 = time.time()
+            ds = spark.read.parquet(str(doc_stats_dir))
+            (
+                field_postings_frame(ds)
+                .repartitionByRange(
+                    _n_eff(spark, cfg.num_partitions), "term", "docid"
+                )
+                .sortWithinPartitions("term", "docid")
+                .write.mode("overwrite")
+                .parquet(str(fp_dir))
+            )
+            record("field_postings", t0)
+        if cfg.fields:
+            manifest["flags"]["fields"] = True
 
         manifest_path.write_text(json.dumps(manifest, indent=2))
     finally:

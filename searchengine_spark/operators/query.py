@@ -366,19 +366,22 @@ def fielded_top_k(
     relevance signals; Robertson, Zaragoza & Taylor CIKM 2004).
 
     final = round(content_score + boost_weight * boost, round_decimals)
-    with boost = sum over query terms (in query order — a left-
-    associative literal chain, so the float sum is deterministic) of
-    idf(t) when t appears among the pid's path tokens (pid split on
-    [/@.]). The boost itself is a per-row JVM expression; disjunctive
-    only (a path hit must not resurrect a conjunctive miss).
+    with boost = sum over query terms (in query order) of idf(t) when
+    t appears among the pid's path tokens (pid split on [/@.]).
+    Disjunctive only (a path hit must not resurrect a conjunctive
+    miss). The per-term zero contributions of a literal chain drop out
+    exactly (x + 0.0 == x in IEEE-754 for the non-negative idf
+    partials), so the ordered fold over present-in-path terms is
+    bit-identical to the chain the oracle computes.
 
-    Scale note: unlike top_k (which joins pids onto the k winners
-    AFTER the limit), field scoring needs the pid BEFORE ranking, so
-    the match set joins doc_stats on docid pre-limit — one extra
-    docid-keyed hash join sized by the match set. An index that
-    MATERIALIZES path tokens as indexed fields (the BM25F layout
-    proper) would fold the boost into the postings scan; this
-    join-time variant keeps the index layout unchanged."""
+    Served from FIELD POSTINGS (the BM25F materialized layout): boost
+    rows come from ``index.field_postings`` (persisted build stage 7,
+    term-pushdown scan) when the index was built with fields=True,
+    else from the same narrow doc_stats projection computed on the
+    fly. Either way the boost join is sized by the per-term field
+    posting lists (|q| short lists), and the pid lookup happens AFTER
+    the limit on k rows like top_k — never a match-set-sized
+    doc_stats join before ranking."""
     terms = query_terms(text, index.manifest["flags"]["stem_stop"])
     spark = index.spark
     empty = spark.createDataFrame([], "docid long, pid string, score double")
@@ -389,28 +392,53 @@ def fielded_top_k(
     if not present:
         return empty
     agg = _content_agg(index, present, idf_by_term, scoring)
-    ptoks = F.split(F.col("pid"), r"[/@.]")
-    boost = None
-    for t in present:
-        term_boost = F.when(
-            F.array_contains(ptoks, t), F.lit(float(idf_by_term[t]))
-        ).otherwise(F.lit(0.0))
-        boost = term_boost if boost is None else boost + term_boost
+    if index.manifest.get("flags", {}).get("fields", False):
+        fp = index.field_postings
+    else:
+        from .indexer import field_postings_frame
+
+        fp = field_postings_frame(index.doc_stats)
+    idf_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, float(idf_by_term[t]))]
+    )
+    pos_map = F.create_map(
+        *[F.lit(x) for i, t in enumerate(present) for x in (t, i)]
+    )
+    fb = fp.filter(F.col("term").isin(present)).select(
+        "docid",
+        pos_map[F.col("term")].alias("term_idx"),
+        idf_map[F.col("term")].alias("b"),
+    )
+    boost = fb.groupBy("docid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term_idx", "b"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["b"],
+        ).alias("boost")
+    )
     scored = (
         agg.select("docid", "score")
-        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .join(boost, "docid", "left")
         .withColumn(
-            "score", F.col("score") + F.lit(float(boost_weight)) * boost
+            "score",
+            F.col("score")
+            + F.lit(float(boost_weight))
+            * F.coalesce(F.col("boost"), F.lit(0.0)),
         )
     )
     if round_decimals is not None:
         scored = scored.withColumn(
             "score", F.round(F.col("score"), round_decimals)
         )
-    return (
-        scored.orderBy(F.col("score").desc(), F.col("docid").asc())
+    topk = (
+        scored.select("docid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
+    )
+    return (
+        F.broadcast(topk)
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .select("docid", "pid", "score")
         .coalesce(1)
         .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
-        .select("docid", "pid", "score")
     )
