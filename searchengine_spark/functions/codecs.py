@@ -105,6 +105,35 @@ def unary_decode(data: bytes, tot_nums: int) -> np.ndarray:
     return (zeros - prev).astype(np.int64)
 
 
+def vb_encode_rows(arrays: list) -> list[bytes]:
+    """VB-encode many small arrays at once: ONE flattened vb_encode
+    pass plus per-row byte splits — no per-row encoder calls, so an
+    Arrow batch of position lists packs at numpy speed."""
+    lens = [len(a) for a in arrays]
+    if not arrays or sum(lens) == 0:
+        return [b""] * len(arrays)
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in arrays if len(a)]
+    )
+    blob = vb_encode(flat)
+    safe = np.maximum(flat, 1)
+    nb = np.floor(np.log(safe) / np.log(128)).astype(np.int64) + 1
+    nb = np.where(flat >= 128**nb, nb + 1, nb)
+    ends = np.cumsum(nb)
+    out: list[bytes] = []
+    vpos = 0
+    bpos = 0
+    for ln in lens:
+        if ln == 0:
+            out.append(b"")
+            continue
+        vpos += ln
+        e = int(ends[vpos - 1])
+        out.append(blob[bpos:e])
+        bpos = e
+    return out
+
+
 def gaps_encode(sorted_vals: np.ndarray | list[int]) -> np.ndarray:
     """Docid array -> gap array (first value kept raw)."""
     vals = np.asarray(sorted_vals, dtype=np.int64)

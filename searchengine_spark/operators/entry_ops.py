@@ -36,10 +36,11 @@ _DISK_IDX: dict[str, object] = {}
 
 
 def gate_disk_index(spark: SparkSession, sf_dir: str):
-    """Shared PERSISTED index (stem_stop=False, positions on) for gates
-    that exercise the disk path (phrase-from-index, materialized
-    block-max). Built once per sf_dir per process into a fresh temp
-    dir, so gate runs never resume stale stages."""
+    """Shared PERSISTED index (stem_stop=False, compression on,
+    positions on — positions therefore gap-VB packed) for gates that
+    exercise the disk path (phrase-from-index, materialized block-max,
+    packed-position framing). Built once per corpus into a
+    deterministic cache dir keyed on the corpus files."""
     idx = _DISK_IDX.get(sf_dir)
     if idx is None:
         import hashlib
@@ -55,7 +56,7 @@ def gate_disk_index(spark: SparkSession, sf_dir: str):
         # Deterministic cache path keyed by corpus identity (path + file
         # mtimes/sizes) so repeated gate/test runs in separate processes
         # reuse ONE directory instead of leaking a fresh mkdtemp each time.
-        key_parts = [os.path.abspath(sf_dir), "stem_stop=0,comp=0,pos=1"]
+        key_parts = [os.path.abspath(sf_dir), "stem_stop=0,comp=1,pos=1"]
         docs_path = os.path.join(sf_dir, "documents.parquet")
         try:
             if os.path.isdir(docs_path):
@@ -75,7 +76,7 @@ def gate_disk_index(spark: SparkSession, sf_dir: str):
             build_index(
                 entry._docs(spark, sf_dir),
                 tmp,
-                IndexConfig(stem_stop=False, compression=False, positions=True),
+                IndexConfig(stem_stop=False, compression=True, positions=True),
             )
             with open(marker, "w") as fh:
                 json.dump({"key": key}, fh)

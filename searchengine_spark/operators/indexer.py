@@ -128,13 +128,24 @@ class InvertedIndex:
     @property
     def positions(self) -> DataFrame:
         """Positional postings (term, docid, doc_len, tf, positions) —
-        present only when the index was built with positions=True."""
+        present only when the index was built with positions=True.
+        When the build also compressed (positions_packed flag), the
+        gap-VB arrays are decoded transparently here, so phrase/
+        proximity/snippet serving is layout-agnostic."""
         if not self.manifest.get("flags", {}).get("positions", False):
             raise ValueError(
                 "index was built without the positions stage; rebuild with "
                 "IndexConfig(positions=True) to serve phrase queries from disk"
             )
+        if self.manifest.get("flags", {}).get("positions_packed", False):
+            return unpack_positions(self.positions_packed)
         return self._read("positions")
+
+    @property
+    def positions_packed(self) -> DataFrame:
+        """Raw gap-VB packed positional postings (term, docid, doc_len,
+        tf, n_positions, positions_vb) — compression + positions builds."""
+        return self._read("positions_packed")
 
     @property
     def stats(self) -> dict:
@@ -819,6 +830,91 @@ _UNPACK_SCHEMA = T.StructType(
 )
 
 
+_POSPACK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("docid", T.LongType()),
+        T.StructField("doc_len", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("n_positions", T.IntegerType()),
+        T.StructField("positions_vb", T.BinaryType()),
+    ]
+)
+
+
+def pack_positions(pos: DataFrame) -> DataFrame:
+    """Gap-VB pack of positional postings (the positions twin of the
+    C1 codec): per (term, docid) row, the ascending 0-based position
+    array becomes VB bytes of gaps over (position + 1) — the +1 keeps
+    every stored value >= 1, dodging the reference's 0x00 quirk byte
+    (an unterminated VB zero folds into the next value on decode).
+    One vb_encode pass per Arrow batch (vb_encode_rows), never a
+    per-row encoder call. At 100 TB the positional index is the
+    largest artifact, so it compresses like the postings do."""
+    from ..functions.codecs import gaps_encode, vb_encode_rows
+
+    import numpy as np
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            plists = [
+                np.asarray(p, dtype=np.int64) for p in pdf["positions"]
+            ]
+            blobs = vb_encode_rows([gaps_encode(p + 1) for p in plists])
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "docid": pdf["docid"],
+                    "doc_len": pdf["doc_len"],
+                    "tf": pdf["tf"],
+                    "n_positions": [len(p) for p in plists],
+                    "positions_vb": blobs,
+                }
+            )
+
+    return pos.select(
+        "term", "docid", "doc_len", "tf", "positions"
+    ).mapInPandas(pack, schema=_POSPACK_SCHEMA)
+
+
+def unpack_positions(packed: DataFrame) -> DataFrame:
+    """Inverse of pack_positions: VB bytes -> gaps -> cumsum -> minus 1
+    restores the 0-based position arrays; output schema matches the
+    plain positions stage exactly so phrase/proximity/snippet serving
+    is layout-agnostic."""
+    import numpy as np
+
+    from ..functions.codecs import gaps_decode, vb_decode
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "docid": pdf["docid"],
+                    "doc_len": pdf["doc_len"],
+                    "tf": pdf["tf"],
+                    "positions": [
+                        (gaps_decode(vb_decode(bytes(vb), int(n))) - 1)
+                        .astype(np.int32)
+                        .tolist()
+                        for vb, n in zip(
+                            pdf["positions_vb"].to_numpy(),
+                            pdf["n_positions"].to_numpy(np.int64),
+                        )
+                    ],
+                }
+            )
+
+    return packed.mapInPandas(
+        unpack,
+        schema=(
+            "term string, docid long, doc_len long, tf int, "
+            "positions array<int>"
+        ),
+    )
+
+
 def unpack_postings(packed: DataFrame) -> DataFrame:
     """Inverse of the packed-postings writer: decode gap-VB docids and
     unary tfs back to (term, block_id, docid, tf) rows. Arrow-batched
@@ -1139,7 +1235,9 @@ def build_index(
         # (term, docid)-range layout like postings/, so a phrase query's
         # per-term reads are contiguous scans with term pushdown. Phrase
         # search then serves from disk with NO corpus re-analysis.
-        pos_dir = root / "positions"
+        pos_dir = (
+            root / "positions_packed" if cfg.compression else root / "positions"
+        )
         if cfg.positions and not _stage_done(pos_dir):
             t0 = time.time()
             from .frames import exploded_term_positions
@@ -1152,17 +1250,22 @@ def build_index(
             pos = exploded_term_positions(dt, ["docid", "doc_len"]).select(
                 "term", "docid", "doc_len", "tf", "positions"
             )
-            (
+            pos = (
                 pos.repartitionByRange(
                     _n_eff(spark, cfg.num_partitions), "term", "docid"
                 )
                 .sortWithinPartitions("term", "docid")
-                .write.mode("overwrite")
-                .parquet(str(pos_dir))
             )
-            record("positions", t0)
+            if cfg.compression:
+                # gap-VB pack the position arrays (narrow, keeps the
+                # range layout): at 100 TB the positional index is the
+                # largest artifact — it compresses like the postings do
+                pos = pack_positions(pos)
+            pos.write.mode("overwrite").parquet(str(pos_dir))
+            record(pos_dir.name, t0)
         if cfg.positions:
             manifest["flags"]["positions"] = True
+            manifest["flags"]["positions_packed"] = bool(cfg.compression)
 
         # ---- stage 7: BM25F field postings (fields flag) ------------------
         # filename-field (term, docid) pairs in the same (term, docid)

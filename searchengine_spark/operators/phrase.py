@@ -135,12 +135,31 @@ def phrase_search(
     )
 
 
+def _served_positions(index, terms: list[str]) -> DataFrame:
+    """Positional postings restricted to ``terms`` for serving. On a
+    compressed index the In(term) filter lands on the PACKED parquet
+    scan BEFORE the Arrow decode — filtering ``index.positions`` would
+    sit above the mapInPandas barrier and decode the whole corpus."""
+    flags = index.manifest.get("flags", {}) if hasattr(index, "manifest") else {}
+    uniq = list(dict.fromkeys(terms))
+    if flags.get("positions_packed", False):
+        from .indexer import unpack_positions
+
+        return unpack_positions(
+            index.positions_packed.filter(F.col("term").isin(uniq))
+        )
+    return index.positions.filter(F.col("term").isin(uniq))
+
+
 def phrase_search_indexed(index, terms: list[str], k: int = 10) -> DataFrame:
     """Phrase search served from a PERSISTED positional index
     (indexer stage 6): reads ``index.positions`` — no re-tokenization,
-    term-pushdown scans — and orders the joins rarest-first from the
-    index's lexicon."""
-    return phrase_search(index.positions, terms, k=k, lexicon=index.lexicon)
+    term-pushdown scans (pushed below the gap-VB decode on compressed
+    indexes) — and orders the joins rarest-first from the index's
+    lexicon."""
+    return phrase_search(
+        _served_positions(index, terms), terms, k=k, lexicon=index.lexicon
+    )
 
 
 def proximity_search(
@@ -211,7 +230,11 @@ def proximity_search_indexed(
 ) -> DataFrame:
     """Proximity search served from the persisted positional index."""
     return proximity_search(
-        index.positions, terms, window=window, k=k, lexicon=index.lexicon
+        _served_positions(index, terms),
+        terms,
+        window=window,
+        k=k,
+        lexicon=index.lexicon,
     )
 
 
@@ -421,7 +444,10 @@ def _q_snippets(spark, sf_dir: str) -> DataFrame:
     idx = gate_disk_index(spark, sf_dir)
     dt = tokenized_docs(entry._docs(spark, sf_dir), stem_stop=False)
     return snippet_windows(
-        idx.positions, dt.select("docid", "tokens"), _SNIP, width=_SNIP_WIDTH
+        _served_positions(idx, _SNIP),
+        dt.select("docid", "tokens"),
+        _SNIP,
+        width=_SNIP_WIDTH,
     )
 
 
@@ -469,3 +495,44 @@ FROM best JOIN ds ON ds.docid = best.docid
 
 
 register("snippet_windows", _q_snippets, _snippets_sql())
+
+
+def _q_packed_positions(spark, sf_dir: str) -> DataFrame:
+    """Byte-framing oracle for the compressed positions stage (the
+    positions twin of packed_block_sizes): per (term, docid), the
+    stored VB blob length must equal the sum of per-gap VB byte
+    widths derived from first principles — gaps over (position + 1),
+    base-128 big-endian, one byte per 7-bit digit."""
+    from .entry_ops import gate_disk_index
+
+    idx = gate_disk_index(spark, sf_dir)
+    return idx.positions_packed.select(
+        "term",
+        "docid",
+        F.col("n_positions").cast("long").alias("n_positions"),
+        F.length("positions_vb").cast("long").alias("n_vb_bytes"),
+    )
+
+
+def _packed_positions_sql() -> str:
+    return f"""
+WITH {_positional_ctes_sql()},
+gaps AS (
+  SELECT term, docid,
+         CAST(len(plist) AS BIGINT) AS n_positions,
+         list_transform(range(1, len(plist) + 1),
+           i -> CASE WHEN i = 1 THEN plist[1] + 1
+                     ELSE plist[i] - plist[i - 1] END) AS gs
+  FROM plists
+)
+SELECT term, docid, n_positions,
+       CAST(list_sum(list_transform(gs, v ->
+         CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2
+              WHEN v < 2097152 THEN 3 ELSE 4 END)) AS BIGINT) AS n_vb_bytes
+FROM gaps
+"""
+
+
+register(
+    "packed_position_sizes", _q_packed_positions, _packed_positions_sql()
+)

@@ -150,6 +150,54 @@ def test_fielded_search_serves_from_field_postings(spark, tmp_path):
     assert len(got) == 10
 
 
+def test_positions_pack_round_trip_and_phrase_parity(spark, tmp_path):
+    """Compressed positions: pack -> unpack restores the plain stage
+    bit-for-bit, phrase results are identical through either layout,
+    and the packed serving plan pushes the In(term) filter onto the
+    PACKED parquet scan (below the Arrow decode)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        build_index,
+    )
+    from searchengine_spark.operators.phrase import phrase_search_indexed
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pid"),
+        F.col("text").alias("content"),
+    )
+    plain = build_index(
+        docs,
+        str(tmp_path / "plain"),
+        IndexConfig(stem_stop=False, compression=False, positions=True),
+    )
+    packed = build_index(
+        docs,
+        str(tmp_path / "packed"),
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    assert packed.manifest["flags"]["positions_packed"] is True
+
+    def rows(df):
+        return sorted(
+            (r["term"], r["docid"], r["doc_len"], r["tf"], tuple(r["positions"]))
+            for r in df.collect()
+        )
+
+    assert rows(packed.positions) == rows(plain.positions)
+
+    terms = ["spark", "join"]
+    got = [tuple(r) for r in phrase_search_indexed(packed, terms).collect()]
+    want = [tuple(r) for r in phrase_search_indexed(plain, terms).collect()]
+    assert got == want and len(got) > 0
+    plan = _formatted_plan(phrase_search_indexed(packed, terms))
+    assert "positions_packed" in plan
+    assert "In(term" in plan or "in(term" in plan.lower()
+
+
 def test_rank_within_groups_default_not_single_partition(spark):
     df = spark.range(2000).select(
         (F.col("id") % 13).alias("g"), F.col("id").alias("o")
