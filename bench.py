@@ -167,6 +167,19 @@ def main() -> None:
         batch_top_k(idx, batch_qs, k=100).count()
         timings["trec_batch_50q_k100"] = round(time.time() - tq, 3)
 
+        # FULL dev-set scale: 7,000 queries ~ the 6,980-query MS MARCO
+        # dev set the reference times end-to-end. With a 31-word corpus
+        # vocabulary the distinct-term set stays under the 10k
+        # In-pushdown budget; q/s should keep RISING vs the 500-query
+        # batch (one postings join amortizes across |Q|)
+        batch_qs7k = {
+            f"bq{i}": " ".join(rng.sample(vocab, 3)) for i in range(7000)
+        }
+        tq = time.time()
+        batch_top_k(idx, batch_qs7k, k=10).count()
+        batch7k_sec = time.time() - tq
+        timings["trec_batch_7000q"] = round(batch7k_sec, 3)
+
         # training-data pipeline ops at the same sf
         from searchengine_spark.operators.dedup import minhash_lsh_pairs
         from searchengine_spark.operators.similarity import cosine_topk
@@ -271,6 +284,7 @@ def main() -> None:
             "query_warm_p50_ms": round(statistics.median(warm_lat), 2),
             "batch_queries_per_sec": round(50 / batch_sec, 1),
             "batch500_queries_per_sec": round(500 / batch500_sec, 1),
+            "batch7000_queries_per_sec": round(7000 / batch7k_sec, 1),
         }
         # two-cluster-size evidence, measured separately by
         # tools/scaling_run.py (local-cluster executor processes —

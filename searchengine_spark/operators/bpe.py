@@ -132,6 +132,103 @@ def bpe_learn(
     return merges
 
 
+def _contains_pair(sym_col: Column, left: str, right: str) -> Column:
+    """True when the symbol array has (left, right) adjacent."""
+    return F.array_contains(
+        _adjacent_pairs(sym_col),
+        F.struct(
+            F.lit(left).alias("pair_left"), F.lit(right).alias("pair_right")
+        ),
+    )
+
+
+def bpe_learn_incremental(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+    stats: list | None = None,
+):
+    """Merge-for-merge equal to :func:`bpe_learn`, but round r touches
+    O(affected) rows instead of re-aggregating every pair: the pair-
+    count table is KEYED STATE, updated by splitting the word set on
+    adjacency of the winning pair (the affected/unaffected anti-join)
+    and applying a -old/+new delta aggregation over ONLY the affected
+    words. The pair table itself is vocabulary-sized (tiny), so the
+    per-round cost is |affected| + |pairs| — the shape a 32k-merge
+    production run needs, where late rounds affect a vanishing
+    fraction of the corpus.
+
+    ``stats`` (optional list) receives one dict per round:
+    {"pair": (l, r), "cnt": n, "affected": m} — the O(affected)
+    evidence pinned in tests."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    words = _words(df, text_col).select("syms").localCheckpoint(eager=True)
+    # union sums partition counts and affected/merged inherit words',
+    # so the unioned words frame would DOUBLE its partitions every
+    # round (2^r tasks by round r) — pin the layout to the input's
+    n_parts = max(words.rdd.getNumPartitions(), 1)
+    pairs = _pair_counts_of(words, "syms").localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            pairs.orderBy(
+                F.col("cnt").desc(),
+                F.col("pair_left").asc(),
+                F.col("pair_right").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right = top[0]["pair_left"], top[0]["pair_right"]
+        merges.append((left, right))
+        hit = _contains_pair(F.col("syms"), left, right)
+        # materialize ONLY the affected slice (this is the whole
+        # per-round data volume); unaffected words stay where they are
+        affected = words.filter(hit).localCheckpoint(eager=True)
+        merged = affected.select(
+            _apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=True)
+        if stats is not None:
+            stats.append(
+                {
+                    "pair": (left, right),
+                    "cnt": int(top[0]["cnt"]),
+                    "affected": merged.count(),
+                }
+            )
+        # one weighted delta agg: -1 per pre-merge pair occurrence in
+        # the affected words, +1 per post-merge occurrence
+        tagged = affected.select(
+            "syms", F.lit(-1).alias("w")
+        ).unionByName(merged.select("syms", F.lit(1).alias("w")))
+        delta = (
+            tagged.filter(F.size(F.col("syms")) >= 2)
+            .select(
+                F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "w"
+            )
+            .groupBy("p.pair_left", "p.pair_right")
+            .agg(F.sum("w").cast("long").alias("cnt"))
+        )
+        pairs = (
+            pairs.unionByName(delta)
+            .groupBy("pair_left", "pair_right")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        ).localCheckpoint(eager=True)
+        # keep the words plan FLAT: filter+union re-planned over a
+        # deepening chain costs more in Catalyst time than the tiny
+        # checkpoint job (checkpoint_every bounds rounds between
+        # materializations; the affected slice is already checkpointed)
+        words = words.filter(~hit).unionByName(merged).coalesce(n_parts)
+        if checkpoint_every <= 1 or (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
 def _segment_word(syms: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
     """Rank-based BPE application: repeatedly merge the LOWEST-rank
     adjacent pair present, all occurrences left-to-right (the standard

@@ -398,6 +398,7 @@ def semdedup(
     centroids="ids",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -419,6 +420,19 @@ def semdedup(
     decimals before compare/argmax so cross-engine float summation
     order can't flip a keep decision.
 
+    Giant-cell cap: one hot cell (a near-duplicate boilerplate
+    cluster) would otherwise cost |cell|² with no bound, so cells
+    above ``max_cell_size`` are sub-bucketed by sign-LSH of the
+    embedding (near-identical vectors share sign bits, so true dup
+    groups stay together), and any still-oversized sub-bucket (an
+    identical-signature cluster) is finally split into rank blocks of
+    ``max_cell_size`` — every compare group is HARD-bounded at
+    max_cell_size², at the cost of not comparing across blocks of an
+    identical-signature mega-cluster (bounded under-dedup: at most
+    one extra keep per block). Cells at or under the cap — every cell
+    in the oracle gate configuration — are byte-identical to the
+    uncapped semantics.
+
     Returns (vec_id, cell, cell_rank, max_prior_cosine, keep);
     ``max_prior_cosine`` is NULL for each cell's rank-1 item (always
     kept). Filter ``keep`` and join back on vec_id to realize the
@@ -428,7 +442,20 @@ def semdedup(
         vectors, n_centroids, id_col, vec_col,
         centroids=centroids, with_ccos=True,
     ).select("vec_id", "emb", "cell", "ccos")
-    w = Window.partitionBy("cell").orderBy(
+    # giant-cell cap: nsub > 1 only for cells above max_cell_size; the
+    # per-cell size table is n_centroids rows, broadcast
+    sizes = cells.groupBy("cell").agg(
+        F.ceil(F.count("*") / F.lit(int(max_cell_size)))
+        .cast("long")
+        .alias("nsub")
+    )
+    cells = cells.join(F.broadcast(sizes), "cell").withColumn(
+        "lsub",
+        F.when(
+            F.col("nsub") > 1, F.pmod(lsh_bucket(F.col("emb")), F.col("nsub"))
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    w = Window.partitionBy("cell", "lsub").orderBy(
         F.col("ccos").desc(), F.col("vec_id").asc()
     )
     # The prior-rank self-join would re-run the N x n_centroids
@@ -437,20 +464,28 @@ def semdedup(
     # columnar-caching array<float> costs more than it saves, while the
     # (vec_id, cell, cell_rank) triple is tiny. Each join side re-reads
     # its embeddings from the source scan by vec_id instead.
+    # block = rank-range residual split: an identical-sign-signature
+    # sub-bucket can defeat the LSH split, so compare groups are
+    # hard-capped at max_cell_size rows regardless.
     ranked = _cached(
         cells.withColumn("cell_rank", F.row_number().over(w).cast("long"))
-        .select("vec_id", "cell", "cell_rank")
+        .withColumn(
+            "blk", ((F.col("cell_rank") - 1) / F.lit(int(max_cell_size)))
+            .cast("long"),
+        )
+        .select("vec_id", "cell", "lsub", "blk", "cell_rank")
     )
     embs = vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         as_double(F.col(vec_col)).alias("emb"),
     )
+    group = ["cell", "lsub", "blk"]
     cur = ranked.join(embs, "vec_id")
     prior = ranked.join(embs, "vec_id").select(
-        F.col("emb").alias("pemb"), "cell", F.col("cell_rank").alias("prn")
+        F.col("emb").alias("pemb"), *group, F.col("cell_rank").alias("prn")
     )
     max_prior = (
-        cur.join(prior, "cell")
+        cur.join(prior, group)
         .filter(F.col("prn") < F.col("cell_rank"))
         .groupBy("vec_id")
         .agg(
@@ -464,6 +499,8 @@ def semdedup(
         .select(
             "vec_id",
             "cell",
+            "lsub",
+            "blk",
             "cell_rank",
             "max_prior_cosine",
             (
@@ -472,6 +509,13 @@ def semdedup(
             ).alias("keep"),
         )
     )
+
+
+def semdedup_keep(*args, **kwargs) -> DataFrame:
+    """Gate/consumer view of :func:`semdedup` without the internal
+    sub-bucket bookkeeping columns (lsub/blk exist so tests can assert
+    the giant-cell compare-group bound)."""
+    return semdedup(*args, **kwargs).drop("lsub", "blk")
 
 
 # ---------------------------------------------------------------------------
@@ -621,7 +665,7 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), {ROUND}) >= {NEARDUP_COSINE}
 
 register(
     "semdedup_keep",
-    lambda spark, sf_dir: semdedup(_emb(spark, sf_dir)),
+    lambda spark, sf_dir: semdedup_keep(_emb(spark, sf_dir)),
     f"""
 WITH v AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb

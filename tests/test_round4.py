@@ -198,6 +198,155 @@ def test_positions_pack_round_trip_and_phrase_parity(spark, tmp_path):
     assert "In(term" in plan or "in(term" in plan.lower()
 
 
+def test_batch_topk_over_budget_skips_in_pushdown(spark):
+    """Past BATCH_PUSHDOWN_TERM_LIMIT distinct terms the In() filter
+    must NOT be planted on the postings scan (planning an In with 100k
+    literals costs more than it saves) — the broadcast join filters
+    alone, and results stay identical to the per-query path."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.frames import build_index_frames
+    from searchengine_spark.operators.query import (
+        BATCH_PUSHDOWN_TERM_LIMIT,
+        batch_top_k,
+        top_k,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pid"),
+        F.col("text").alias("content"),
+    )
+    idx = build_index_frames(docs, stem_stop=False)
+    # >10k distinct terms: two real queries + OOV-term padding queries
+    queries = {"q1": "spark join fast", "q2": "hash table scan"}
+    n_junk = BATCH_PUSHDOWN_TERM_LIMIT // 5 + 10
+    for i in range(n_junk):
+        queries[f"j{i}"] = " ".join(f"zz{i}x{j}" for j in range(5))
+    df = batch_top_k(idx, queries, k=5, round_decimals=9)
+    plan = _formatted_plan(df)
+    assert "In(term" not in plan
+    got = {
+        (r["qid"], r["docid"]): r["score"]
+        for r in df.filter(F.col("qid").isin(["q1", "q2"])).collect()
+    }
+    for qid, text in [("q1", "spark join fast"), ("q2", "hash table scan")]:
+        want = top_k(idx, text, k=5, round_decimals=9).collect()
+        for r in want:
+            assert got[(qid, r["docid"])] == r["score"]
+    assert len(got) == 10
+
+
+def _bpe_reference_merges(word_occurrences, n_merges):
+    """Pure-Python twin of the trainer loop (the same reference
+    test_round3 pins bpe_learn against): corpus-wide adjacent-pair
+    counts over word OCCURRENCES, argmax with (cnt DESC, left, right)
+    tie-break, greedy leftmost non-overlapping apply."""
+    words = [list(w) for w in word_occurrences]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((left, right))
+        merged = left + right
+        for syms in words:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            syms[:] = out
+    return merges
+
+
+def test_bpe_incremental_trainer_matches_full_at_64_merges(spark):
+    """The keyed-state trainer must be merge-for-merge identical to
+    the trainer semantics over >= 64 merges (vs the pure-Python
+    reference the full trainer is itself pinned against, plus a direct
+    Spark-to-Spark check at 10 merges), and its per-round stats must
+    show late rounds touching only the affected slice."""
+    import random
+
+    from searchengine_spark.operators.bpe import (
+        bpe_learn,
+        bpe_learn_incremental,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    vocab = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 9)))
+        for _ in range(160)
+    ]
+    lines = [
+        " ".join(rng.choice(vocab) for _ in range(30)) for _ in range(12)
+    ]
+    docs = spark.createDataFrame([(t,) for t in lines], "text string")
+    occurrences = [w for t in lines for w in t.split(" ") if w]
+    want64 = _bpe_reference_merges(occurrences, 64)
+    assert len(want64) >= 64
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stats: list = []
+        inc = bpe_learn_incremental(docs, 64, checkpoint_every=1, stats=stats)
+        assert inc == want64
+        # direct Spark-to-Spark: same head as the full trainer
+        assert bpe_learn(docs, 10, checkpoint_every=4) == inc[:10]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    n_words = len(occurrences)
+    # O(affected): every round touches at most the words containing
+    # the winning pair; late rounds must touch far fewer than all
+    assert all(s["affected"] <= n_words for s in stats)
+    assert min(s["affected"] for s in stats[-16:]) < n_words // 10
+
+
+def test_semdedup_giant_cell_compare_groups_bounded(spark):
+    """Plant one giant cell (512 identical boilerplate vectors that
+    defeat the sign-LSH split, plus distinct fillers) and assert every
+    compare group is hard-capped at max_cell_size — and that the dedup
+    still drops the identical copies within each block."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.similarity import semdedup
+
+    cap = 64
+    dim = 64  # embeddings-table dimensionality (LSH planes index it)
+    rows = []
+    for i in range(512):  # identical-signature mega-cluster
+        rows.append((i, [1.0] * dim))
+    for i in range(512, 600):  # distinct fillers with varying signs
+        rows.append(
+            (i, [float((i + d) % 5) - 2.0 for d in range(dim)])
+        )
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = semdedup(vecs, n_centroids=1, max_cell_size=cap)
+    groups = (
+        out.groupBy("cell", "lsub", "blk").count().agg(F.max("count"))
+    ).collect()[0][0]
+    assert groups <= cap
+    ident = out.filter(F.col("vec_id") < 512)
+    # identical vectors: exactly one keep per rank block, rest dropped
+    keeps = ident.filter("keep").count()
+    n_blocks = ident.select("lsub", "blk").distinct().count()
+    assert keeps == n_blocks
+    assert ident.count() == 512
+
+
 def test_rank_within_groups_default_not_single_partition(spark):
     df = spark.range(2000).select(
         (F.col("id") % 13).alias("g"), F.col("id").alias("o")
