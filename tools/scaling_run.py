@@ -232,7 +232,8 @@ Round-over-round, same harness (2M docs, 128 partitions, N=1x4 vs
 |---|---|---|---|---|
 | r1 | two merge-stage range shuffles | 285.9 s | 201.9 s | 0.35 |
 | r2 | fused single-shuffle merge + stage-read split tuning | 314.3 s | 136.7 s | 0.57 |
-| r3 | shuffle-free SPIMI tf + fused one-pass analysis stage + JVM docid stamp + shuffle-free block packing | see table above | see table above | see above |
+| r3 | shuffle-free SPIMI tf + fused one-pass analysis stage + JVM docid stamp + shuffle-free block packing | 242.7 s | 73.0 s | 0.83 |
+| r4 | default-path AQE collapse fixed everywhere (_n_eff explicit counts — the harness already pinned 128 partitions, so this protects DEFAULT builds, not this table) | see table above | see table above | see above |
 
 What round 3 removed, stage by stage (the structural claim: the build
 now performs exactly TWO full-data shuffles — the docid range
@@ -280,6 +281,63 @@ equality); predicate pushdown / column pruning / broadcast-only query
 joins asserted in tests/test_plan_quality.py; no-shuffle plans for
 the SPIMI tf stage and the interior block packer asserted in
 tests/test_round3.py.
+
+## Round-3 continuation (same day): operator-level wins
+
+Same sf0.1 / local[32] harness, quiet machine, interleaved runs:
+
+| bench line | r2 | r3 early | now | change |
+|---|---|---|---|---|
+| dedup_minhash_lsh | 7.84 s | 18.9 s* | **3.7-5.5 s** | shuffle-free banding + affine universal-hash family (one md5 per shingle instead of k; HOFs evaluate interpreted, so per-element hash work dominates) |
+| dedup_cluster_cc | — | 16.9 s* | **3.4-6.5 s** | inherits the minhash fix + cached band frame across the self-join |
+| semdedup | — | 28.5 s* | **4.4-5.0 s** | cache only the (vec_id, cell, rank) assignment triple (columnar-caching array<float> costs more than recompute), re-join embeddings from the source scan per side; bench sizes cells ~N/64 |
+| build_index_20x | 20.7-26.5 s band | — | 20.0-24.1 s | unchanged (narrow dedup work does not touch the build path) |
+
+*the early-r3 numbers were measured mid-rewrite on a loaded machine —
+kept here because the deltas motivated the fixes.
+
+## Round-4 notes: default-path parallelism + compressed positions
+
+Round 4's build changes were defensive, not harness-visible: the
+scaling harness always pinned num_partitions=128, so its numbers
+never suffered the AQE one-partition collapse — but a DEFAULT
+`IndexConfig()` build did (merge + positions stages advisory-coalesced
+to ONE task under ~64 MB shuffled). `_n_eff()` now applies
+max(shuffle.partitions, 2 x defaultParallelism) on every
+build-critical range shuffle (assign_dense_ids, _rank_within_groups,
+positions layout, streaming compaction), pinned by
+tests/test_round4.py. Layout neutrality was A/B-verified: a 4-file
+and a 64-file postings layout serve batch-500 and warm queries within
+noise of each other in one session (file-count does not tax the read
+side; parquet split packing coalesces small files).
+
+The positional index is now gap-VB packed under the compression flag
+(`positions_packed/`, byte framing oracle-checked row-for-row); the
+phrase bench line pays one Arrow decode of the two query terms' lists
+(~+0.5 s at sf0.1 toy scale) in exchange for the dominant-artifact
+compression a 100 TB positional index requires; the In(term) filter
+is pushed below the decode so only queried lists are ever unpacked.
+
+Machine-noise caveat (same as r2/r3 notes): this shared VM sees
+external load spikes (loadavg 9+ with zero of our processes); bench
+runs during spikes inflate 2-10x across ALL lines. Numbers recorded
+in BENCH_r*.json should be read against quiet-machine reruns;
+regressions were only believed after same-session interleaved A/B.
+
+Round-4 scaling methodology addendum: during this round the external
+spikes arrived in ~5-minute waves every ~15-20 minutes, and four
+consecutive full runs of this harness had a leg poisoned (observed
+efficiencies 0.57 / 0.23 / 0.67 / 0.22, with loadavg peaking at
+14-24 while zero of our processes beyond the measured leg ran; the
+16-core 4N leg is hit hardest because external load steals its cores
+first). The recorded numbers therefore come from the SAME child code
+path run per-leg (`--child 1`, `--child 4`) behind a load gate
+(start only when 1-min loadavg < 1) with dirty legs rejected by
+their own end-of-run loadavg and implausible build_sec; accepted
+legs' per-stage times match the round-3 quiet-run profile within
+noise (e.g. 4N lexicon 9.5 s vs r3 8.6 s, vs 31 s in the poisoned
+runs). Accepted: N = 260.38 s (end loadavg 3.8 ≈ our own 4 cores),
+4N = 78.36 s -> speedup 3.32x, efficiency 0.83.
 """
 
 
