@@ -769,5 +769,40 @@ LIMIT 10
 """,
     )
 
+    register(
+        "field_postings",
+        _q_field_postings,
+        f"""
+WITH {entry.base_ctes(fielded_d0)}
+SELECT DISTINCT u.t AS term, ds.docid
+FROM ds, LATERAL (
+  SELECT unnest(string_split_regex(ds.pid, '[/@.]')) AS t
+) u
+WHERE u.t <> ''
+""",
+    )
+
+
+def _q_field_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F filename-field postings over the north-rule code table:
+    the (term, docid) table build stage 7 persists (fielded_top_k's
+    boost source — indexer.field_postings_frame), derived here from
+    the same fielded corpus code_search_fielded queries, so the gate
+    pins the field layout row-for-row against first principles."""
+    from .frames import build_index_frames
+    from .indexer import docs_from_code_table, field_postings_frame
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    code = _synth_code_table(docs).withColumn(
+        "path",
+        F.concat(
+            F.lit("src/"),
+            F.element_at(F.split(F.col("content"), " "), 1),
+            F.lit(".py"),
+        ),
+    )
+    idx = build_index_frames(docs_from_code_table(code), stem_stop=False)
+    return field_postings_frame(idx.doc_stats)
+
 
 _register_fielded()
