@@ -135,19 +135,41 @@ def phrase_search(
     )
 
 
-def _served_positions(index, terms: list[str]) -> DataFrame:
+def _served_positions(
+    index, terms: list[str], conjunctive: bool = False
+) -> DataFrame:
     """Positional postings restricted to ``terms`` for serving. On a
     compressed index the In(term) filter lands on the PACKED parquet
     scan BEFORE the Arrow decode — filtering ``index.positions`` would
-    sit above the mapInPandas barrier and decode the whole corpus."""
+    sit above the mapInPandas barrier and decode the whole corpus.
+
+    ``conjunctive=True`` (phrase/proximity: a match needs EVERY query
+    term in the doc) additionally intersects the per-term docid sets
+    on the PACKED table before decoding: ``docid`` is a plain parquet
+    column, so the |terms|-way membership test is a narrow
+    groupBy-count over (term, docid) rows that never touches the
+    position bytes, and only docs that can possibly match pay the
+    gap-VB decode. For a phrase mixing one rare and one stopword-ish
+    term this cuts the decode from the stopword's full posting list to
+    the intersection — the dominant cost at corpus scale, where
+    position arrays are ~doc-length integers per posting. Disjunctive
+    consumers (snippets: ANY term matches) must keep the default."""
     flags = index.manifest.get("flags", {}) if hasattr(index, "manifest") else {}
     uniq = list(dict.fromkeys(terms))
     if flags.get("positions_packed", False):
         from .indexer import unpack_positions
 
-        return unpack_positions(
-            index.positions_packed.filter(F.col("term").isin(uniq))
-        )
+        packed = index.positions_packed.filter(F.col("term").isin(uniq))
+        if conjunctive and len(uniq) > 1:
+            cand = (
+                packed.select("term", "docid")
+                .groupBy("docid")
+                .agg(F.count_distinct("term").alias("_nt"))
+                .filter(F.col("_nt") == len(uniq))
+                .select("docid")
+            )
+            packed = packed.join(cand, "docid")
+        return unpack_positions(packed)
     return index.positions.filter(F.col("term").isin(uniq))
 
 
@@ -158,7 +180,10 @@ def phrase_search_indexed(index, terms: list[str], k: int = 10) -> DataFrame:
     indexes) — and orders the joins rarest-first from the index's
     lexicon."""
     return phrase_search(
-        _served_positions(index, terms), terms, k=k, lexicon=index.lexicon
+        _served_positions(index, terms, conjunctive=True),
+        terms,
+        k=k,
+        lexicon=index.lexicon,
     )
 
 
@@ -230,7 +255,7 @@ def proximity_search_indexed(
 ) -> DataFrame:
     """Proximity search served from the persisted positional index."""
     return proximity_search(
-        _served_positions(index, terms),
+        _served_positions(index, terms, conjunctive=True),
         terms,
         window=window,
         k=k,

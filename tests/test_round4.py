@@ -356,3 +356,38 @@ def test_rank_within_groups_default_not_single_partition(spark):
     # rank semantics unchanged: 0-based dense rank inside each group
     row = out.filter((F.col("g") == 3) & (F.col("o") == 3)).collect()[0]
     assert row["rnk"] == 0
+
+
+def test_served_positions_conjunctive_prefilter(spark):
+    """Phrase/proximity serving on a packed index intersects per-term
+    docid sets BEFORE the gap-VB decode: only docids containing every
+    query term reach unpack_positions, while the disjunctive default
+    (snippets) still decodes every per-term row."""
+    from types import SimpleNamespace
+
+    from searchengine_spark.operators.indexer import pack_positions
+    from searchengine_spark.operators.phrase import _served_positions
+
+    pos = spark.createDataFrame(
+        [
+            ("a", 1, 4, 1, [0]),
+            ("a", 2, 4, 1, [0]),
+            ("a", 3, 4, 1, [0]),
+            ("b", 2, 4, 1, [1]),
+            ("b", 3, 4, 1, [1]),
+            ("b", 4, 4, 1, [1]),
+        ],
+        "term string, docid long, doc_len long, tf int, positions array<int>",
+    )
+    idx = SimpleNamespace(
+        manifest={"flags": {"positions_packed": True}},
+        positions_packed=pack_positions(pos),
+    )
+    conj = _served_positions(idx, ["a", "b"], conjunctive=True).collect()
+    assert sorted({r["docid"] for r in conj}) == [2, 3]
+    assert len(conj) == 4  # two terms x two intersecting docs
+    disj = _served_positions(idx, ["a", "b"]).collect()
+    assert len(disj) == 6  # every per-term row decodes
+    # decoded payloads are intact through the prefilter join
+    got = sorted((r["term"], r["docid"], tuple(r["positions"])) for r in conj)
+    assert got == [("a", 2, (0,)), ("a", 3, (0,)), ("b", 2, (1,)), ("b", 3, (1,))]
