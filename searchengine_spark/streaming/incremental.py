@@ -58,6 +58,29 @@ def batch_postings(docs: DataFrame, stem_stop: bool = True) -> DataFrame:
     )
 
 
+def batch_positions(docs: DataFrame, stem_stop: bool = True) -> DataFrame:
+    """(pid, content) -> (pid, doc_len, term, tf, positions) for one
+    micro-batch — the positional twin of :func:`batch_postings`, same
+    narrow run-length plan (``exploded_term_positions``: a (term, pid)
+    group never spans rows, so NO shuffle per trigger) and the same
+    analysis chain, so a streamed corpus serves phrase/proximity with
+    offsets identical to a batch build over the same docs."""
+    from ..operators.frames import exploded_term_positions
+
+    toks = docs.select(
+        "pid",
+        tokens_col(F.col("content"), stem_stop).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    toks = toks.withColumn("doc_len", F.size("tokens").cast("long"))
+    return exploded_term_positions(toks, ["pid", "doc_len"]).select(
+        "pid",
+        "doc_len",
+        "term",
+        F.col("tf").cast("int").alias("tf"),
+        "positions",
+    )
+
+
 def start_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -65,6 +88,7 @@ def start_ingest(
     schema: str = "pid string, content string",
     stem_stop: bool = True,
     trigger_once: bool = True,
+    positions: bool = False,
 ):
     """Start the streaming ingest: parquet-dir source -> staged posting
     blocks. ``trigger_once`` processes the backlog and stops (the
@@ -81,7 +105,7 @@ def start_ingest(
     idx_root.mkdir(parents=True, exist_ok=True)
     (idx_root / "stream_manifest.json").write_text(
         json.dumps({"flags": {"stem_stop": stem_stop, "compression": False,
-                              "max_score": True}})
+                              "max_score": True, "positions": positions}})
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -94,6 +118,20 @@ def start_ingest(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(f"{index_dir}/stage_stream")
         )
+        if positions:
+            # positional staging rides the same trigger with the same
+            # batch_id lineage, so overwrite-by-batch idempotency and
+            # the latest-batch-wins rule at compaction apply to both
+            # staged tables identically
+            pos = batch_positions(batch_df, stem_stop).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            )
+            (
+                pos.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{index_dir}/pos_stream")
+            )
 
     reader = spark.readStream.schema(schema).parquet(source_dir)
     writer = reader.writeStream.foreachBatch(sink).option(
@@ -129,11 +167,33 @@ def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
         .parquet(str(out / "postings"))
     )
     frames.lexicon.write.mode("overwrite").parquet(str(out / "lexicon"))
+    flags = dict(frames.manifest["flags"])
+    if flags.get("positions", False):
+        # fold the positional staging area (latest batch per pid wins,
+        # same superseding rule as stage_stream) onto the docids the
+        # compaction just assigned, in the batch build's (term, docid)
+        # range layout — the streamed index then serves phrase /
+        # proximity / snippets through the identical disk contract
+        staged_pos = spark.read.parquet(f"{index_dir}/pos_stream")
+        latest = staged_pos.groupBy("pid").agg(
+            F.max("batch_id").alias("batch_id")
+        )
+        ds = spark.read.parquet(str(out / "doc_stats")).select("pid", "docid")
+        (
+            staged_pos.join(latest, ["pid", "batch_id"])
+            .join(ds, "pid")
+            .select("term", "docid", "doc_len", "tf", "positions")
+            .repartitionByRange(_n_eff(spark), "term", "docid")
+            .sortWithinPartitions("term", "docid")
+            .write.mode("overwrite")
+            .parquet(str(out / "positions"))
+        )
+        flags["positions_packed"] = False
     n_terms = spark.read.parquet(str(out / "lexicon")).count()
     stats = dict(frames.stats)
     stats["n_terms"] = int(n_terms)
     manifest = {
-        "flags": frames.manifest["flags"],
+        "flags": flags,
         "stages": {"compacted_from": index_dir},
         "stats": stats,
     }

@@ -391,3 +391,81 @@ def test_served_positions_conjunctive_prefilter(spark):
     # decoded payloads are intact through the prefilter join
     got = sorted((r["term"], r["docid"], tuple(r["positions"])) for r in conj)
     assert got == [("a", 2, (0,)), ("a", 3, (0,)), ("b", 2, (1,)), ("b", 3, (1,))]
+
+
+def test_streaming_positions_serve_phrase(spark, tmp_path):
+    """Streamed corpus -> compact_to_dir serves phrase search from a
+    positional index identical (per pid) to a batch build over the
+    same final corpus, including a pid whose re-ingest in a LATER
+    micro-batch supersedes its earlier positions."""
+    import __spark_entry__ as e
+    from searchengine_spark.operators.indexer import (
+        InvertedIndex,
+        IndexConfig,
+        build_index,
+    )
+    from searchengine_spark.operators.phrase import phrase_search_indexed
+    from searchengine_spark.streaming.incremental import (
+        compact_to_dir,
+        start_ingest,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = e._docs(spark, "/root/testdata/sf0.001").limit(60).cache()
+    redo_pid = base.orderBy("pid").first()["pid"]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(base.toPandas()), str(src / "f1.parquet")
+    )
+    sidx = str(tmp_path / "sidx")
+    start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(120)
+    # batch 2: one superseding re-ingest + one brand-new doc
+    pq.write_table(
+        pa.table(
+            {
+                "pid": [redo_pid, "zzznew"],
+                "content": ["alpha beta alpha beta", "alpha beta gamma"],
+            }
+        ),
+        str(src / "f2.parquet"),
+    )
+    start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(120)
+
+    compact_to_dir(spark, sidx, str(tmp_path / "out"))
+    loaded = InvertedIndex.load(spark, str(tmp_path / "out"))
+    assert loaded.manifest["flags"]["positions"] is True
+    assert loaded.manifest["flags"]["positions_packed"] is False
+
+    final = base.filter(F.col("pid") != redo_pid).unionByName(
+        spark.createDataFrame(
+            [(redo_pid, "alpha beta alpha beta"), ("zzznew", "alpha beta gamma")],
+            "pid string, content string",
+        )
+    )
+    ref = build_index(
+        final,
+        str(tmp_path / "batch"),
+        IndexConfig(stem_stop=False, compression=False, positions=True),
+    )
+
+    def by_pid(idx, terms):
+        res = phrase_search_indexed(idx, terms, k=1000)
+        return {
+            (r["pid"], r["phrase_tf"])
+            for r in res.join(
+                idx.doc_stats.select("docid", "pid"), "docid"
+            ).collect()
+        }
+
+    for terms in (["alpha", "beta"], ["spark", "join"]):
+        got, want = by_pid(loaded, terms), by_pid(ref, terms)
+        assert got == want, terms
+    # the superseding re-ingest governs: old content gone, new phrase x2
+    assert (redo_pid, 2) in by_pid(loaded, ["alpha", "beta"])
