@@ -67,11 +67,21 @@ def _phrase_join_order(terms: list[str], dfs: dict[str, int]) -> list[int]:
     return sorted(range(len(terms)), key=lambda i: (dfs[terms[i]], i))
 
 
+# Minimum total query-term posting volume (sum of dfs) before the
+# conjunctive docid prefilter pays for its extra narrow shuffle: below
+# it, decoding the per-term lists outright is cheaper than the
+# groupBy-count round trip (measured at sf0.1: prefilter ~1.4 s vs
+# direct ~1.0 s on 6k postings; at web scale a stopword-ish term's
+# millions of position arrays dominate and the prefilter wins).
+PREFILTER_MIN_POSTINGS = 262_144
+
+
 def phrase_search(
     positions: DataFrame,
     terms: list[str],
     k: int = 10,
     lexicon: DataFrame | None = None,
+    dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Top-k (docid, phrase_tf) for an exact consecutive phrase.
 
@@ -93,15 +103,16 @@ def phrase_search(
         raise ValueError("empty phrase")
     spark = positions.sparkSession
     order = list(range(len(terms)))
-    if lexicon is not None:
+    if lexicon is not None or dfs is not None:
         uniq = list(dict.fromkeys(terms))
-        dfs = {
-            r["term"]: int(r["df"])
-            for r in lexicon.filter(F.col("term").isin(uniq))
-            .select("term", "df")
-            .collect()
-        }
-        if len(dfs) < len(uniq):  # missing term -> no phrase can match
+        if dfs is None:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in lexicon.filter(F.col("term").isin(uniq))
+                .select("term", "df")
+                .collect()
+            }
+        if any(t not in dfs for t in uniq):  # missing term -> no match
             return spark.createDataFrame([], "docid long, phrase_tf long")
         order = _phrase_join_order(terms, dfs)
     anchor = order[0]
@@ -173,17 +184,60 @@ def _served_positions(
     return index.positions.filter(F.col("term").isin(uniq))
 
 
-def phrase_search_indexed(index, terms: list[str], k: int = 10) -> DataFrame:
+def _query_dfs(index, uniq: list[str]) -> dict[str, int]:
+    """Per-term document frequencies for a query — ONE ≤|q|-row
+    lexicon collect shared by join ordering, the missing-term
+    short-circuit, and the prefilter cost decision."""
+    return {
+        r["term"]: int(r["df"])
+        for r in index.lexicon.filter(F.col("term").isin(uniq))
+        .select("term", "df")
+        .collect()
+    }
+
+
+def _decide_prefilter(
+    dfs: dict[str, int], uniq: list[str], prefilter: bool | None
+) -> bool:
+    """Cost-based switch for the conjunctive decode prefilter: pay its
+    extra narrow shuffle only when the total posting volume to decode
+    is large (``PREFILTER_MIN_POSTINGS``); ``prefilter`` forces either
+    path."""
+    if prefilter is not None:
+        return prefilter
+    return (
+        len(uniq) > 1
+        and sum(dfs[t] for t in uniq) >= PREFILTER_MIN_POSTINGS
+    )
+
+
+def phrase_search_indexed(
+    index, terms: list[str], k: int = 10, prefilter: bool | None = None
+) -> DataFrame:
     """Phrase search served from a PERSISTED positional index
     (indexer stage 6): reads ``index.positions`` — no re-tokenization,
     term-pushdown scans (pushed below the gap-VB decode on compressed
     indexes) — and orders the joins rarest-first from the index's
-    lexicon."""
+    lexicon. On a packed index with a large query posting volume the
+    per-term docid sets intersect BEFORE the decode (see
+    ``_served_positions``); the threshold keeps short queries on the
+    direct path where the prefilter's shuffle costs more than it
+    saves."""
+    if not terms:
+        raise ValueError("empty phrase")
+    uniq = list(dict.fromkeys(terms))
+    dfs = _query_dfs(index, uniq)
+    if any(t not in dfs for t in uniq):
+        return index.lexicon.sparkSession.createDataFrame(
+            [], "docid long, phrase_tf long"
+        )
     return phrase_search(
-        _served_positions(index, terms, conjunctive=True),
+        _served_positions(
+            index, terms, conjunctive=_decide_prefilter(dfs, uniq, prefilter)
+        ),
         terms,
         k=k,
-        lexicon=index.lexicon,
+        dfs=dfs,
     )
 
 
@@ -193,6 +247,7 @@ def proximity_search(
     window: int = 8,
     k: int = 10,
     lexicon: DataFrame | None = None,
+    dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Top-k (docid, prox_tf) unordered proximity match (Lucene sloppy
     / INQUERY #uw-style): ``prox_tf`` counts the occurrences y of the
@@ -216,14 +271,15 @@ def proximity_search(
     uniq = list(dict.fromkeys(terms))
     spark = positions.sparkSession
     order = list(range(len(uniq)))
-    if lexicon is not None:
-        dfs = {
-            r["term"]: int(r["df"])
-            for r in lexicon.filter(F.col("term").isin(uniq))
-            .select("term", "df")
-            .collect()
-        }
-        if len(dfs) < len(uniq):
+    if lexicon is not None or dfs is not None:
+        if dfs is None:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in lexicon.filter(F.col("term").isin(uniq))
+                .select("term", "df")
+                .collect()
+            }
+        if any(t not in dfs for t in uniq):
             return spark.createDataFrame([], "docid long, prox_tf long")
         order = _phrase_join_order(uniq, dfs)
     cur = None
@@ -251,15 +307,31 @@ def proximity_search(
 
 
 def proximity_search_indexed(
-    index, terms: list[str], window: int = 8, k: int = 10
+    index,
+    terms: list[str],
+    window: int = 8,
+    k: int = 10,
+    prefilter: bool | None = None,
 ) -> DataFrame:
-    """Proximity search served from the persisted positional index."""
+    """Proximity search served from the persisted positional index;
+    same cost-based conjunctive decode prefilter as
+    :func:`phrase_search_indexed`."""
+    if not terms:
+        raise ValueError("empty proximity query")
+    uniq = list(dict.fromkeys(terms))
+    dfs = _query_dfs(index, uniq)
+    if any(t not in dfs for t in uniq):
+        return index.lexicon.sparkSession.createDataFrame(
+            [], "docid long, prox_tf long"
+        )
     return proximity_search(
-        _served_positions(index, terms, conjunctive=True),
+        _served_positions(
+            index, terms, conjunctive=_decide_prefilter(dfs, uniq, prefilter)
+        ),
         terms,
         window=window,
         k=k,
-        lexicon=index.lexicon,
+        dfs=dfs,
     )
 
 

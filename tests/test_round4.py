@@ -469,3 +469,21 @@ def test_streaming_positions_serve_phrase(spark, tmp_path):
         assert got == want, terms
     # the superseding re-ingest governs: old content gone, new phrase x2
     assert (redo_pid, 2) in by_pid(loaded, ["alpha", "beta"])
+
+
+def test_prefilter_cost_switch():
+    from searchengine_spark.operators.phrase import (
+        PREFILTER_MIN_POSTINGS,
+        _decide_prefilter,
+    )
+
+    # toy volumes stay on the direct decode path
+    assert _decide_prefilter({"a": 10, "b": 20}, ["a", "b"], None) is False
+    # web-scale volumes flip to the prefilter
+    big = {"a": PREFILTER_MIN_POSTINGS, "b": 1}
+    assert _decide_prefilter(big, ["a", "b"], None) is True
+    # single-term queries never prefilter (nothing to intersect)
+    assert _decide_prefilter({"a": 10**9}, ["a"], None) is False
+    # explicit override wins both ways
+    assert _decide_prefilter({"a": 1, "b": 1}, ["a", "b"], True) is True
+    assert _decide_prefilter(big, ["a", "b"], False) is False
