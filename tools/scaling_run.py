@@ -338,6 +338,27 @@ legs' per-stage times match the round-3 quiet-run profile within
 noise (e.g. 4N lexicon 9.5 s vs r3 8.6 s, vs 31 s in the poisoned
 runs). Accepted: N = 260.38 s (end loadavg 3.8 ≈ our own 4 cores),
 4N = 78.36 s -> speedup 3.32x, efficiency 0.83.
+
+Round-4 continuation: phrase/proximity serving on a packed index
+gained a CONJUNCTIVE DOCID PREFILTER — the per-term docid sets
+intersect on the packed table's plain columns before any gap-VB
+decode, so only docs containing every query term pay the Arrow
+decode. Interleaved A/B at sf0.1 (quiet): prefilter 1.33-1.51 s vs
+direct 0.98-1.13 s — the extra narrow shuffle LOSES at toy posting
+volume, so the switch is cost-based (sum of query-term dfs >=
+PREFILTER_MIN_POSTINGS = 2^18 flips it on; at web scale a
+stopword-ish term's millions of position arrays dominate and the
+intersection wins). The streaming ingest now stages positional rows
+(`pos_stream/`, same batch_id lineage + latest-batch-wins rule) and
+`compact_to_dir` materializes `positions/` in the batch layout, so a
+streamed corpus serves phrase/proximity identically to a batch build
+(pytest-pinned per-pid, including a superseding re-ingest); positions
+ride FULL compaction only — the O(delta) incremental path
+(`compact_incremental`) maintains postings/lexicon/doc-partials, a
+positional segment store is future work. Quiet sf0.1 reference run
+after these changes: build_index 21.3 s, build_20x 19.35 s
+(5,168 docs/s), q_bm25_maxscore 0.278 s, trec_batch_7000q 23.4 s
+(299 q/s), phrase_search 1.04 s (auto-selected direct path).
 """
 
 
