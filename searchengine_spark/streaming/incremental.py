@@ -418,6 +418,36 @@ def _inc_segs(spark: SparkSession, root, name: str, n: int) -> DataFrame | None:
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def incremental_positions(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Live positional postings of the incremental segment store: the
+    union of committed ``positions/seg_*`` minus tombstoned docids —
+    exactly the positions DataFrame ``phrase_search`` /
+    ``proximity_search`` / ``snippet_windows`` take (pair it with the
+    lexicon from ``compact_incremental``'s frames for rarest-first
+    ordering). O(delta) maintenance: each compaction appends one
+    positional segment on the docids it assigned; a re-ingested pid's
+    old positions are invalidated by the SAME docid tombstone that
+    kills its postings, so no positional rewrite ever happens."""
+    import json
+    from pathlib import Path
+
+    root = Path(index_dir) / "inc"
+    state_path = root / "state.json"
+    if not state_path.exists():
+        raise ValueError("no compacted segments: run compact_incremental first")
+    n_seg = json.loads(state_path.read_text())["segments"]
+    if n_seg == 0 or not (root / "positions").exists():
+        raise ValueError(
+            "no positional segments: ingest with positions=True, then "
+            "compact_incremental"
+        )
+    pos = _inc_segs(spark, root, "positions", n_seg)
+    tombs = _inc_segs(spark, root, "tombstones", n_seg)
+    if tombs is not None:
+        pos = pos.join(tombs, "docid", "left_anti")
+    return pos
+
+
 def compact_incremental(spark: SparkSession, index_dir: str):
     """O(delta) compaction: fold only the staged micro-batches newer
     than the last compaction into a persistent base, instead of
@@ -432,6 +462,10 @@ def compact_incremental(spark: SparkSession, index_dir: str):
       tombstones/seg_k             — docids superseded by a re-ingested
           pid; readers anti-join them. A re-ingested doc gets a NEW
           docid (doc rows are immutable versions).
+      positions/seg_k              — positional appends on the same
+          docids (only when the ingest ran with ``positions=True``);
+          invalidated by the same tombstones, served by
+          ``incremental_positions``.
       partials/seg_k               — full snapshot of per-term
           N/avgdl-independent aggregates; only TOUCHED terms (terms of
           delta docs + terms of tombstoned docs) are recomputed from
@@ -522,6 +556,25 @@ def compact_incremental(spark: SparkSession, index_dir: str):
         post_rows.write.mode("overwrite").parquet(
             str(root / "postings" / f"seg_{sid}")
         )
+        if manifest["flags"].get("positions", False):
+            # positional segments mirror the postings segments exactly:
+            # O(delta) appends on the docids this compaction assigned,
+            # invalidated by the same docid tombstones — a re-ingested
+            # pid's old positions die with its old docid
+            pos_delta = spark.read.parquet(f"{index_dir}/pos_stream").filter(
+                F.col("batch_id") > state["last_batch_id"]
+            )
+            (
+                pos_delta.join(latest, ["pid", "batch_id"])
+                .join(
+                    spark.read.parquet(str(root / "docs" / f"seg_{sid}"))
+                    .select("pid", "docid"),
+                    "pid",
+                )
+                .select("term", "docid", "doc_len", "tf", "positions")
+                .write.mode("overwrite")
+                .parquet(str(root / "positions" / f"seg_{sid}"))
+            )
         tomb_rows = (
             superseded.select("docid")
             if superseded is not None

@@ -487,3 +487,84 @@ def test_prefilter_cost_switch():
     # explicit override wins both ways
     assert _decide_prefilter({"a": 1, "b": 1}, ["a", "b"], True) is True
     assert _decide_prefilter(big, ["a", "b"], False) is False
+
+
+def test_incremental_positions_phrase_parity(spark, tmp_path):
+    """O(delta) positional segments: two incremental compactions (the
+    second superseding a pid) must serve phrase results identical per
+    pid to a batch build over the final corpus, via
+    incremental_positions + the incremental frames' lexicon."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from searchengine_spark.operators.indexer import IndexConfig, build_index
+    from searchengine_spark.operators.phrase import phrase_search
+    from searchengine_spark.streaming.incremental import (
+        compact_incremental,
+        incremental_positions,
+        start_ingest,
+    )
+
+    base = e._docs(spark, "/root/testdata/sf0.001").limit(50).cache()
+    redo_pid = base.orderBy("pid").first()["pid"]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(base.toPandas()), str(src / "f1.parquet")
+    )
+    sidx = str(tmp_path / "sidx")
+    start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(120)
+    compact_incremental(spark, sidx)  # seg_0
+
+    pq.write_table(
+        pa.table(
+            {
+                "pid": [redo_pid, "zzznew"],
+                "content": ["alpha beta alpha beta", "alpha beta gamma"],
+            }
+        ),
+        str(src / "f2.parquet"),
+    )
+    start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(120)
+    frames = compact_incremental(spark, sidx)  # seg_1 + tombstone
+
+    final = base.filter(F.col("pid") != redo_pid).unionByName(
+        spark.createDataFrame(
+            [(redo_pid, "alpha beta alpha beta"), ("zzznew", "alpha beta gamma")],
+            "pid string, content string",
+        )
+    )
+    ref = build_index(
+        final,
+        str(tmp_path / "batch"),
+        IndexConfig(stem_stop=False, compression=False, positions=True),
+    )
+    pos = incremental_positions(spark, sidx)
+
+    def by_pid(res, doc_stats):
+        return {
+            (r["pid"], r["phrase_tf"])
+            for r in res.join(
+                doc_stats.select("docid", "pid"), "docid"
+            ).collect()
+        }
+
+    for terms in (["alpha", "beta"], ["spark", "join"]):
+        got = by_pid(
+            phrase_search(pos, terms, k=1000, lexicon=frames.lexicon),
+            frames.doc_stats,
+        )
+        want = by_pid(
+            phrase_search(ref.positions, terms, k=1000, lexicon=ref.lexicon),
+            ref.doc_stats,
+        )
+        assert got == want, terms
+    assert (redo_pid, 2) in by_pid(
+        phrase_search(pos, ["alpha", "beta"], k=1000, lexicon=frames.lexicon),
+        frames.doc_stats,
+    )

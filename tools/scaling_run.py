@@ -352,10 +352,11 @@ intersection wins). The streaming ingest now stages positional rows
 (`pos_stream/`, same batch_id lineage + latest-batch-wins rule) and
 `compact_to_dir` materializes `positions/` in the batch layout, so a
 streamed corpus serves phrase/proximity identically to a batch build
-(pytest-pinned per-pid, including a superseding re-ingest); positions
-ride FULL compaction only — the O(delta) incremental path
-(`compact_incremental`) maintains postings/lexicon/doc-partials, a
-positional segment store is future work. Quiet sf0.1 reference run
+(pytest-pinned per-pid, including a superseding re-ingest); the O(delta) incremental path
+(`compact_incremental`) likewise appends positional SEGMENTS on the
+docids it assigns, invalidated by the same tombstones and served via
+`incremental_positions` (pytest-pinned phrase parity vs a batch
+build, including a superseding re-ingest). Quiet sf0.1 reference run
 after these changes: build_index 21.3 s, build_20x 19.35 s
 (5,168 docs/s), q_bm25_maxscore 0.278 s, trec_batch_7000q 23.4 s
 (299 q/s), phrase_search 1.04 s (auto-selected direct path).
