@@ -90,6 +90,12 @@ def _block_bounds(
 _BYTES_PER_POSTING = 32  # 4 numpy columns x 8 B on the driver
 _FETCH_MEM_FRACTION = 8  # budget = driver memory / 8 / bytes-per-posting
 
+# memoized per session: sparkContext.getConf() is a py4j round trip
+# that COPIES the whole SparkConf (~14 ms measured) — paying it per
+# query doubled the warm-serving p50; driver memory cannot change
+# within a session, so one resolution per session is exact
+_FETCH_BUDGET_CACHE: dict[int, int] = {}
+
 
 def _default_fetch_budget(spark) -> int:
     """Fetch budget (in postings) derived from the driver's memory
@@ -103,6 +109,9 @@ def _default_fetch_budget(spark) -> int:
     env = os.environ.get("SE_MAXSCORE_FETCH_POSTINGS")
     if env:
         return int(env)
+    cached = _FETCH_BUDGET_CACHE.get(id(spark))
+    if cached is not None:
+        return cached
     # spark.driver.memory lives in the SparkConf, not the runtime SQL
     # conf — read it there first so large-driver deployments actually
     # get the larger budget instead of silently landing on the 1g
@@ -135,6 +144,7 @@ def _default_fetch_budget(spark) -> int:
     logging.getLogger(__name__).debug(
         "maxscore fetch budget: driver.memory=%s -> %d postings", mem, budget
     )
+    _FETCH_BUDGET_CACHE[id(spark)] = budget
     return budget
 
 
