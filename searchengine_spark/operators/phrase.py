@@ -414,6 +414,84 @@ def snippet_windows(
     )
 
 
+def search_with_snippets(
+    index,
+    docs: DataFrame,
+    text: str,
+    k: int = 10,
+    width: int = 10,
+    scoring: str = "bm25",
+) -> DataFrame:
+    """Results-page composition: top-k (MaxScore pruning) + the best
+    snippet per hit, ordered score DESC, docid ASC.
+
+    Scale shape — everything after the top-k is proportional to k,
+    never to the match set or the corpus:
+      * the hit list is k rows on the driver (the one collect);
+      * the positional read is restricted to (k docids x |q| terms) as
+        In() filters on the PACKED table's plain columns, so on a
+        compressed index at most k*|q| position arrays are ever
+        gap-VB-decoded;
+      * only the k hit documents are re-tokenized for rendering
+        (matching via index + rendering via docstore, the same split
+        as the snippet gate), with docids mapped FROM the hit list —
+        never reassigned over a filtered corpus.
+    """
+    from ..functions.analysis import tokens_col
+    from .maxscore import maxscore_topk
+    from .query import query_terms
+
+    spark = docs.sparkSession
+    flags = index.manifest.get("flags", {}) if hasattr(index, "manifest") else {}
+    stem_stop = flags.get("stem_stop", True)
+    terms = query_terms(text, stem_stop)
+    out_schema = (
+        "docid long, pid string, score double, snippet_start long, "
+        "n_matched_terms long, snippet string"
+    )
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    hit_rows = [
+        (r["docid"], r["pid"], r["score"])
+        for r in maxscore_topk(index, text, k=k, scoring=scoring).collect()
+    ]
+    if not hit_rows:
+        return spark.createDataFrame([], out_schema)
+    docids = [d for d, _, _ in hit_rows]
+    pids = [p for _, p, _ in hit_rows]
+    uniq = list(dict.fromkeys(terms))
+    if flags.get("positions_packed", False):
+        from .indexer import unpack_positions
+
+        pos = unpack_positions(
+            index.positions_packed.filter(
+                F.col("term").isin(uniq) & F.col("docid").isin(docids)
+            )
+        )
+    else:
+        pos = index.positions.filter(
+            F.col("term").isin(uniq) & F.col("docid").isin(docids)
+        )
+    hits = F.broadcast(
+        spark.createDataFrame(hit_rows, "docid long, pid string, score double")
+    )
+    doc_tokens = (
+        docs.filter(F.col("pid").isin(pids))
+        .select("pid", tokens_col(F.col("content"), stem_stop).alias("tokens"))
+        .join(hits.select("docid", "pid"), "pid")
+        .select("docid", "tokens")
+    )
+    return (
+        snippet_windows(pos, doc_tokens, terms, width=width)
+        .join(hits, "docid")
+        .select(
+            "docid", "pid", "score",
+            "snippet_start", "n_matched_terms", "snippet",
+        )
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration + DuckDB oracle
 # ---------------------------------------------------------------------------

@@ -568,3 +568,60 @@ def test_incremental_positions_phrase_parity(spark, tmp_path):
         phrase_search(pos, ["alpha", "beta"], k=1000, lexicon=frames.lexicon),
         frames.doc_stats,
     )
+
+
+def test_search_with_snippets_topk_restricted(spark, tmp_path):
+    """Results-page composition: k hits with snippets, equal to the
+    corpus-wide snippet operator restricted to the hit docids, and the
+    packed positional scan carries BOTH In(term) and In(docid) filters
+    below the Arrow decode."""
+    from searchengine_spark.operators.frames import tokenized_docs
+    from searchengine_spark.operators.indexer import IndexConfig, build_index
+    from searchengine_spark.operators.phrase import (
+        _served_positions,
+        search_with_snippets,
+        snippet_windows,
+    )
+    from searchengine_spark.operators.query import query_terms
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pid"),
+        F.col("text").alias("content"),
+    )
+    idx = build_index(
+        docs,
+        str(tmp_path / "idx"),
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    text = "spark join fast"
+    got = search_with_snippets(idx, docs, text, k=5, width=8).collect()
+    assert len(got) == 5
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    terms = query_terms(text, stem_stop=False)
+    for r in got:
+        assert r["n_matched_terms"] >= 1
+        assert any(t in r["snippet"].split() for t in terms), r["snippet"]
+
+    # parity with the corpus-wide operator on the same docids
+    hit_ids = {r["docid"] for r in got}
+    dt = tokenized_docs(docs, stem_stop=False).select("docid", "tokens")
+    full = {
+        (r["docid"], r["snippet_start"], r["n_matched_terms"], r["snippet"])
+        for r in snippet_windows(
+            _served_positions(idx, terms), dt, terms, width=8
+        ).collect()
+        if r["docid"] in hit_ids
+    }
+    assert {
+        (r["docid"], r["snippet_start"], r["n_matched_terms"], r["snippet"])
+        for r in got
+    } == full
+
+    # both In() filters sit on the packed scan, below the decode
+    plan = _formatted_plan(search_with_snippets(idx, docs, text, k=5, width=8))
+    assert "positions_packed" in plan
+    low = plan.lower()
+    assert low.count("in(term") >= 1 and low.count("in(docid") >= 1, plan[:4000]
