@@ -253,6 +253,15 @@ def main() -> None:
         phrase_search_indexed(idx_disk, ["spark", "join"], k=10).count()
         timings["phrase_search"] = round(time.time() - tq, 3)
 
+        # results-page composition: top-k + snippets, everything after
+        # the top-k proportional to k (positions decoded for the k hit
+        # docids only, rendering re-tokenizes only those docs)
+        from searchengine_spark.operators.phrase import search_with_snippets
+
+        tq = time.time()
+        search_with_snippets(idx_disk, docs, "spark join fast", k=10).count()
+        timings["search_snippets"] = round(time.time() - tq, 3)
+
         # composed code-curation pipeline (quality -> dedup -> split)
         # over the synthesized north-rule code table at the same sf
         from searchengine_spark.operators.codestats import curate_code_corpus
