@@ -691,18 +691,16 @@ _FIELDED_TERMS = ["spark", "join", "fast"]
 _FIELDED_W = 1.0
 
 
-def _q_code_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Code search over the north-rule table where the FILENAME carries
-    signal: paths embed each doc's first token, so a query term in the
-    path adds boost_weight * idf on top of the content BM25 — ranks
-    shift for path-hit docs, oracle-exact through the re-derived pid."""
+def _fielded_index_frames(spark: SparkSession, sf_dir: str):
+    """Shared fielded-gate corpus: the synthetic code table with only
+    the path overridden to embed each doc's first token (so filename
+    boosts actually fire), indexed once per call — the ONE definition
+    both fielded gates (and their oracle CTEs) pin against, so the
+    path formula cannot drift between them."""
     from .frames import build_index_frames
     from .indexer import docs_from_code_table
-    from .query import fielded_top_k
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # the shared synthetic code table, with only the path overridden to
-    # embed the doc's first token (so filename boosts actually fire)
     code = _synth_code_table(docs).withColumn(
         "path",
         F.concat(
@@ -711,7 +709,17 @@ def _q_code_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".py"),
         ),
     )
-    idx = build_index_frames(docs_from_code_table(code), stem_stop=False)
+    return build_index_frames(docs_from_code_table(code), stem_stop=False)
+
+
+def _q_code_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code search over the north-rule table where the FILENAME carries
+    signal: paths embed each doc's first token, so a query term in the
+    path adds boost_weight * idf on top of the content BM25 — ranks
+    shift for path-hit docs, oracle-exact through the re-derived pid."""
+    from .query import fielded_top_k
+
+    idx = _fielded_index_frames(spark, sf_dir)
     return fielded_top_k(
         idx, " ".join(_FIELDED_TERMS), k=10, boost_weight=_FIELDED_W,
         scoring="bm25", round_decimals=9,
@@ -789,20 +797,9 @@ def _q_field_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     boost source — indexer.field_postings_frame), derived here from
     the same fielded corpus code_search_fielded queries, so the gate
     pins the field layout row-for-row against first principles."""
-    from .frames import build_index_frames
-    from .indexer import docs_from_code_table, field_postings_frame
+    from .indexer import field_postings_frame
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    code = _synth_code_table(docs).withColumn(
-        "path",
-        F.concat(
-            F.lit("src/"),
-            F.element_at(F.split(F.col("content"), " "), 1),
-            F.lit(".py"),
-        ),
-    )
-    idx = build_index_frames(docs_from_code_table(code), stem_stop=False)
-    return field_postings_frame(idx.doc_stats)
+    return field_postings_frame(_fielded_index_frames(spark, sf_dir).doc_stats)
 
 
 _register_fielded()

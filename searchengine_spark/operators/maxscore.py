@@ -93,8 +93,11 @@ _FETCH_MEM_FRACTION = 8  # budget = driver memory / 8 / bytes-per-posting
 # memoized per session: sparkContext.getConf() is a py4j round trip
 # that COPIES the whole SparkConf (~14 ms measured) — paying it per
 # query doubled the warm-serving p50; driver memory cannot change
-# within a session, so one resolution per session is exact
-_FETCH_BUDGET_CACHE: dict[int, int] = {}
+# within a session, so one resolution per session is exact. The memo
+# lives as an attribute ON the session object (not an id()-keyed dict:
+# a stopped session's id can be reused by a new one with a different
+# driver memory, silently inheriting the stale budget).
+_FETCH_BUDGET_ATTR = "_se_fetch_budget"
 
 
 def _default_fetch_budget(spark) -> int:
@@ -109,7 +112,7 @@ def _default_fetch_budget(spark) -> int:
     env = os.environ.get("SE_MAXSCORE_FETCH_POSTINGS")
     if env:
         return int(env)
-    cached = _FETCH_BUDGET_CACHE.get(id(spark))
+    cached = getattr(spark, _FETCH_BUDGET_ATTR, None)
     if cached is not None:
         return cached
     # spark.driver.memory lives in the SparkConf, not the runtime SQL
@@ -144,7 +147,10 @@ def _default_fetch_budget(spark) -> int:
     logging.getLogger(__name__).debug(
         "maxscore fetch budget: driver.memory=%s -> %d postings", mem, budget
     )
-    _FETCH_BUDGET_CACHE[id(spark)] = budget
+    try:
+        setattr(spark, _FETCH_BUDGET_ATTR, budget)
+    except Exception:
+        pass  # exotic session proxies: fall back to re-resolving
     return budget
 
 

@@ -438,7 +438,7 @@ def search_with_snippets(
         never reassigned over a filtered corpus.
     """
     from ..functions.analysis import tokens_col
-    from .maxscore import maxscore_topk
+    from .maxscore import maxscore_topk_rows
     from .query import query_terms
 
     spark = docs.sparkSession
@@ -451,9 +451,11 @@ def search_with_snippets(
     )
     if not terms:
         return spark.createDataFrame([], out_schema)
+    # rows API: ZERO Spark jobs on a warmed index — the hit list is
+    # the one driver round trip this composition needs
     hit_rows = [
-        (r["docid"], r["pid"], r["score"])
-        for r in maxscore_topk(index, text, k=k, scoring=scoring).collect()
+        (int(d), p, float(s))
+        for d, p, s in maxscore_topk_rows(index, text, k=k, scoring=scoring)
     ]
     if not hit_rows:
         return spark.createDataFrame([], out_schema)
@@ -472,18 +474,21 @@ def search_with_snippets(
         pos = index.positions.filter(
             F.col("term").isin(uniq) & F.col("docid").isin(docids)
         )
-    hits = F.broadcast(
-        spark.createDataFrame(hit_rows, "docid long, pid string, score double")
+    hits = spark.createDataFrame(
+        hit_rows, "docid long, pid string, score double"
     )
     doc_tokens = (
         docs.filter(F.col("pid").isin(pids))
         .select("pid", tokens_col(F.col("content"), stem_stop).alias("tokens"))
-        .join(hits.select("docid", "pid"), "pid")
+        .join(F.broadcast(hits.select("docid", "pid")), "pid")
         .select("docid", "tokens")
     )
+    # LEFT join from the hit list: a hit whose docstore row is missing
+    # or drifted (index/docstore version skew) stays on the results
+    # page with NULL snippet columns instead of silently vanishing
     return (
-        snippet_windows(pos, doc_tokens, terms, width=width)
-        .join(hits, "docid")
+        hits.join(snippet_windows(pos, doc_tokens, terms, width=width),
+                  "docid", "left")
         .select(
             "docid", "pid", "score",
             "snippet_start", "n_matched_terms", "snippet",

@@ -103,7 +103,23 @@ def start_ingest(
 
     idx_root = Path(index_dir)
     idx_root.mkdir(parents=True, exist_ok=True)
-    (idx_root / "stream_manifest.json").write_text(
+    mpath = idx_root / "stream_manifest.json"
+    if mpath.exists():
+        # flag-mismatch-on-resume, the streaming twin of the batch
+        # build's Flags contract: resuming an ingest with different
+        # analysis or positional settings would mix incompatible staged
+        # rows (and a positions toggle would leave doc versions whose
+        # postings and positions disagree — the staged tables share
+        # batch_id lineage precisely so they stay in lockstep)
+        old = json.loads(mpath.read_text()).get("flags", {})
+        if bool(old.get("stem_stop", True)) != bool(stem_stop) or bool(
+            old.get("positions", False)
+        ) != bool(positions):
+            raise ValueError(
+                "stream flag mismatch on resume: ingest was started with "
+                f"{old}, got stem_stop={stem_stop} positions={positions}"
+            )
+    mpath.write_text(
         json.dumps({"flags": {"stem_stop": stem_stop, "compression": False,
                               "max_score": True, "positions": positions}})
     )
@@ -175,8 +191,15 @@ def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
         # range layout — the streamed index then serves phrase /
         # proximity / snippets through the identical disk contract
         staged_pos = spark.read.parquet(f"{index_dir}/pos_stream")
-        latest = staged_pos.groupBy("pid").agg(
-            F.max("batch_id").alias("batch_id")
+        # latest-wins from STAGE_STREAM (the authoritative doc-version
+        # table), not pos_stream: start_ingest enforces the positions
+        # flag across resumes so the two stay in lockstep, but the doc
+        # version compacted into doc_stats must always govern which
+        # positional rows serve
+        latest = (
+            spark.read.parquet(f"{index_dir}/stage_stream")
+            .groupBy("pid")
+            .agg(F.max("batch_id").alias("batch_id"))
         )
         ds = spark.read.parquet(str(out / "doc_stats")).select("pid", "docid")
         (

@@ -625,3 +625,61 @@ def test_search_with_snippets_topk_restricted(spark, tmp_path):
     assert "positions_packed" in plan
     low = plan.lower()
     assert low.count("in(term") >= 1 and low.count("in(docid") >= 1, plan[:4000]
+
+
+def test_stream_flag_mismatch_on_resume(spark, tmp_path):
+    """Resuming an ingest with different stem_stop or positions flags
+    must refuse (the streaming twin of the batch Flags contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from searchengine_spark.streaming.incremental import start_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"pid": ["a"], "content": ["hello world"]}),
+        str(src / "f1.parquet"),
+    )
+    sidx = str(tmp_path / "sidx")
+    start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(120)
+    with pytest.raises(ValueError, match="flag mismatch"):
+        start_ingest(spark, str(src), sidx, stem_stop=False, positions=False)
+    with pytest.raises(ValueError, match="flag mismatch"):
+        start_ingest(spark, str(src), sidx, stem_stop=True, positions=True)
+
+
+def test_search_with_snippets_keeps_hit_on_docstore_skew(spark, tmp_path):
+    """A top-k hit whose pid is missing from the docs frame (index /
+    docstore version skew) must stay on the results page with NULL
+    snippet columns, never silently vanish."""
+    from searchengine_spark.operators.indexer import IndexConfig, build_index
+    from searchengine_spark.operators.phrase import search_with_snippets
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pid"),
+        F.col("text").alias("content"),
+    )
+    idx = build_index(
+        docs,
+        str(tmp_path / "idx"),
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    full = search_with_snippets(idx, docs, "spark join fast", k=5).collect()
+    assert len(full) == 5
+    drop_pid = full[0]["pid"]
+    skewed = search_with_snippets(
+        idx, docs.filter(F.col("pid") != drop_pid), "spark join fast", k=5
+    ).collect()
+    assert len(skewed) == 5
+    gone = [r for r in skewed if r["pid"] == drop_pid]
+    assert len(gone) == 1 and gone[0]["snippet"] is None
+    kept = {(r["pid"], r["snippet"]) for r in skewed if r["pid"] != drop_pid}
+    assert kept == {
+        (r["pid"], r["snippet"]) for r in full if r["pid"] != drop_pid
+    }
