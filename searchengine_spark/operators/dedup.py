@@ -760,10 +760,43 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+# duplicate-pair sets are output-sensitive (the LSH candidate set, not
+# |docs|^2): below this many edges an exact driver-side union-find
+# beats O(log d) rounds of Spark jobs outright — 5M (doc_a, doc_b)
+# longs is ~80 MB on the driver. Same hybrid posture as MaxScore's
+# local_threshold; deploys tune it with SE_CC_LOCAL_EDGES.
+CC_LOCAL_EDGE_LIMIT = 5_000_000
+
+
+def _local_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact union-find (path-halving) over the edge endpoints; every
+    touched node maps to the MIN doc_id of its component — identical
+    labels to the distributed min-label loop by definition of both."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min root so the representative IS the min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iter: int = 30,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components of the near-duplicate graph: every node is
     labeled with the MINIMUM doc_id reachable from it (the canonical
@@ -793,7 +826,50 @@ def connected_components(
     Scale shape: per round, one shuffle of |edges| (output-sensitive —
     the LSH candidate set, not |docs|^2) and two shuffles of |docs|
     (doc_id, label) pairs; the whole loop is O(log d) such rounds.
+    Below ``local_threshold`` edges (default ``CC_LOCAL_EDGE_LIMIT``,
+    env SE_CC_LOCAL_EDGES) the pair set collects to the driver for an
+    exact union-find instead — one scalar count + one k-row collect +
+    one broadcast join beats O(log d) rounds of jobs whenever the
+    dup-pair set fits driver memory; labels are identical by
+    construction (both label every node with its component's min).
     """
+    import os
+
+    if local_threshold is None:
+        local_threshold = int(
+            os.environ.get("SE_CC_LOCAL_EDGES", CC_LOCAL_EDGE_LIMIT)
+        )
+    base = nodes.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("cluster_id"),
+    )
+    if local_threshold > 0:
+        # ONE probing job: limit(t+1) short-circuits the pair scan as
+        # soon as the set is provably over budget (a count() would scan
+        # every pair first AND recompute them for the collect)
+        probe = edges.select(
+            F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+        ).limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            mapping = _local_components(
+                [(int(a), int(b)) for a, b in probe]
+            )
+            if not mapping:
+                return base
+            spark = nodes.sparkSession
+            lbl = spark.createDataFrame(
+                list(mapping.items()), "doc_id long, _lbl long"
+            )
+            return (
+                base.select("doc_id")
+                .join(F.broadcast(lbl), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("_lbl"), F.col("doc_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
     sym = edges.select(
         F.col("doc_a").cast("long").alias("src"),
         F.col("doc_b").cast("long").alias("dst"),

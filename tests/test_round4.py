@@ -683,3 +683,40 @@ def test_search_with_snippets_keeps_hit_on_docstore_skew(spark, tmp_path):
     assert kept == {
         (r["pid"], r["snippet"]) for r in full if r["pid"] != drop_pid
     }
+
+
+def test_connected_components_local_equals_distributed(spark):
+    """The threshold-guarded driver union-find must produce labels
+    identical to the distributed min-label/pointer-jump loop on a graph
+    with chains, a big component, and singletons."""
+    from searchengine_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5, pair 10-11, triangle 20-21-22 (+ redundant edge),
+    # self-loop 30-30, singletons 40..44
+    edges = spark.createDataFrame(
+        [
+            (2, 1), (2, 3), (4, 3), (5, 4),
+            (11, 10),
+            (20, 21), (21, 22), (22, 20),
+            (30, 30),
+        ],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20, 21, 22, 30, 40, 41, 42, 43, 44]],
+        "doc_id long",
+    )
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            nodes, edges, local_threshold=10**9
+        ).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            nodes, edges, local_threshold=0
+        ).collect()
+    }
+    assert local == dist
+    assert (5, 1) in local and (22, 20) in local and (40, 40) in local
