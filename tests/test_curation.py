@@ -64,8 +64,16 @@ def test_cc_local_min_trap(spark):
 
 
 def test_cc_non_convergence_raises(spark):
+    # local_threshold=0 pins the DISTRIBUTED loop (the driver union-find
+    # fast path would solve this 40-node chain without iterating)
     with pytest.raises(RuntimeError):
-        _cc(spark, range(0, 40), [(i, i + 1) for i in range(0, 39)], max_iter=1)
+        _cc(
+            spark,
+            range(0, 40),
+            [(i, i + 1) for i in range(0, 39)],
+            max_iter=1,
+            local_threshold=0,
+        )
 
 
 def _python_components(node_ids, pairs):
