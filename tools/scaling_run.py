@@ -360,6 +360,19 @@ build, including a superseding re-ingest). Quiet sf0.1 reference run
 after these changes: build_index 21.3 s, build_20x 19.35 s
 (5,168 docs/s), q_bm25_maxscore 0.278 s, trec_batch_7000q 23.4 s
 (299 q/s), phrase_search 1.04 s (auto-selected direct path).
+
+Continuation part 2 (same session): per-session memoized MaxScore
+fetch budget (sparkContext.getConf() COPIES the SparkConf — ~14 ms
+per py4j call, paid per query it had doubled warm p50 to ~34 ms;
+quiet bench after the memo: **13.5 ms warm p50**, the best recorded);
+connected-components driver union-find fast path behind
+SE_CC_LOCAL_EDGES (persist+count probe — NOT limit(N): CollectLimit's
+incremental 1/4/16-partition waves re-ran the LSH verification stage
+and cost 16.7 s; with the cache probe dedup_cluster_cc lands at
+**5.1 s** quiet, labels pytest-pinned identical to the distributed
+min-label loop); `search_snippets` bench line added (results-page
+composition, post-top-k work O(k): ~1.7-2.2 s at sf0.1, dominated by
+the k-doc re-tokenization job at toy scale).
 """
 
 
