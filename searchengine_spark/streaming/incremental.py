@@ -89,6 +89,7 @@ def start_ingest(
     stem_stop: bool = True,
     trigger_once: bool = True,
     positions: bool = False,
+    fields: bool = False,
 ):
     """Start the streaming ingest: parquet-dir source -> staged posting
     blocks. ``trigger_once`` processes the backlog and stops (the
@@ -112,16 +113,20 @@ def start_ingest(
         # postings and positions disagree — the staged tables share
         # batch_id lineage precisely so they stay in lockstep)
         old = json.loads(mpath.read_text()).get("flags", {})
-        if bool(old.get("stem_stop", True)) != bool(stem_stop) or bool(
-            old.get("positions", False)
-        ) != bool(positions):
+        if (
+            bool(old.get("stem_stop", True)) != bool(stem_stop)
+            or bool(old.get("positions", False)) != bool(positions)
+            or bool(old.get("fields", False)) != bool(fields)
+        ):
             raise ValueError(
                 "stream flag mismatch on resume: ingest was started with "
-                f"{old}, got stem_stop={stem_stop} positions={positions}"
+                f"{old}, got stem_stop={stem_stop} positions={positions} "
+                f"fields={fields}"
             )
     mpath.write_text(
         json.dumps({"flags": {"stem_stop": stem_stop, "compression": False,
-                              "max_score": True, "positions": positions}})
+                              "max_score": True, "positions": positions,
+                              "fields": fields}})
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -212,6 +217,22 @@ def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
             .parquet(str(out / "positions"))
         )
         flags["positions_packed"] = False
+    if flags.get("fields", False):
+        # BM25F filename-field postings are a narrow projection of the
+        # compacted doc_stats (pid path tokens) — same derivation as
+        # batch build stage 7, same (term, docid) range layout, so
+        # fielded_top_k serves a streamed code corpus unchanged
+        from ..operators.indexer import field_postings_frame
+
+        (
+            field_postings_frame(
+                spark.read.parquet(str(out / "doc_stats"))
+            )
+            .repartitionByRange(_n_eff(spark), "term", "docid")
+            .sortWithinPartitions("term", "docid")
+            .write.mode("overwrite")
+            .parquet(str(out / "field_postings"))
+        )
     n_terms = spark.read.parquet(str(out / "lexicon")).count()
     stats = dict(frames.stats)
     stats["n_terms"] = int(n_terms)

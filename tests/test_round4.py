@@ -720,3 +720,73 @@ def test_connected_components_local_equals_distributed(spark):
     }
     assert local == dist
     assert (5, 1) in local and (22, 20) in local and (40, 40) in local
+
+
+def test_streaming_fields_serve_fielded_search(spark, tmp_path):
+    """A streamed code corpus compacted with fields=True serves
+    fielded_top_k (BM25F filename boost) identically per pid to a
+    batch build with fields=True over the same docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        InvertedIndex,
+        build_index,
+    )
+    from searchengine_spark.operators.query import fielded_top_k
+    from searchengine_spark.streaming.incremental import (
+        compact_to_dir,
+        start_ingest,
+    )
+
+    raw = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    docs = raw.select(
+        F.concat(
+            F.lit("repo"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("/src/"),
+            F.element_at(F.split(F.col("text"), " "), 1),
+            F.lit(".py@"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("pid"),
+        F.col("text").alias("content"),
+    ).cache()
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(docs.toPandas()), str(src / "f1.parquet")
+    )
+    sidx = str(tmp_path / "sidx")
+    start_ingest(
+        spark, str(src), sidx, stem_stop=False, fields=True
+    ).awaitTermination(120)
+    compact_to_dir(spark, sidx, str(tmp_path / "out"))
+    loaded = InvertedIndex.load(spark, str(tmp_path / "out"))
+    assert loaded.manifest["flags"]["fields"] is True
+
+    ref = build_index(
+        docs,
+        str(tmp_path / "batch"),
+        IndexConfig(stem_stop=False, compression=False, fields=True),
+    )
+    q = "spark join fast"
+    got = {
+        (r["pid"], r["score"])
+        for r in fielded_top_k(loaded, q, k=1000, round_decimals=9).collect()
+    }
+    want = {
+        (r["pid"], r["score"])
+        for r in fielded_top_k(ref, q, k=1000, round_decimals=9).collect()
+    }
+    assert got == want and len(got) > 10
+    # filename boost actually fires: some doc's path token is a query term
+    content_only = {
+        (r["pid"], r["score"])
+        for r in fielded_top_k(
+            loaded, q, k=1000, boost_weight=0.0, round_decimals=9
+        ).collect()
+    }
+    assert got != content_only
