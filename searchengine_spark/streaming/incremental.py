@@ -166,10 +166,16 @@ def start_ingest(
 def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
     """Materialize the compacted streaming index as a SERVABLE disk
     index (same layout as the batch build: doc_stats/, postings/,
-    lexicon/, manifest.json), so ``InvertedIndex.load(out_dir)`` works
-    on it — the streaming-ingest-to-serving handoff. Postings land
-    range-partitioned and sorted by (term, docid) like the batch merge
-    stage."""
+    lexicon/, manifest.json — plus positions/ and field_postings/ when
+    the ingest ran with those flags), so ``InvertedIndex.load(out_dir)``
+    works on it — the streaming-ingest-to-serving handoff. Postings
+    land range-partitioned and sorted by (term, docid) like the batch
+    merge stage. Serving parity: DAAT top-k, MaxScore (lexicon TUBs),
+    phrase/proximity/snippets and BM25F fielded search all work; the
+    OPTIMIZATION artifacts only a batch build writes (block-max
+    descriptors in blocks/, gap-VB packed codecs) come from a periodic
+    batch rebuild over the compacted corpus — the standard
+    segment-then-optimize posture."""
     import json
     from pathlib import Path
 
