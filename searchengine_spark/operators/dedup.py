@@ -762,10 +762,12 @@ def simhash_pairs(
 
 # duplicate-pair sets are output-sensitive (the LSH candidate set, not
 # |docs|^2): below this many edges an exact driver-side union-find
-# beats O(log d) rounds of Spark jobs outright — 5M (doc_a, doc_b)
-# longs is ~80 MB on the driver. Same hybrid posture as MaxScore's
-# local_threshold; deploys tune it with SE_CC_LOCAL_EDGES.
-CC_LOCAL_EDGE_LIMIT = 5_000_000
+# beats O(log d) rounds of Spark jobs outright. 1M edges costs a few
+# hundred MB peak on the driver (collect() Rows + the Python tuple
+# list + a dict of up to 2M boxed ints — NOT the 16 raw bytes/edge),
+# safe for the small-driver default. Same hybrid posture as MaxScore's
+# local_threshold; deploys with big drivers raise SE_CC_LOCAL_EDGES.
+CC_LOCAL_EDGE_LIMIT = 1_000_000
 
 
 def _local_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -833,16 +835,26 @@ def connected_components(
     dup-pair set fits driver memory; labels are identical by
     construction (both label every node with its component's min).
     """
+    import logging
     import os
 
     if local_threshold is None:
-        local_threshold = int(
-            os.environ.get("SE_CC_LOCAL_EDGES", CC_LOCAL_EDGE_LIMIT)
-        )
+        raw = os.environ.get("SE_CC_LOCAL_EDGES")
+        try:
+            local_threshold = (
+                int(raw) if raw is not None else CC_LOCAL_EDGE_LIMIT
+            )
+        except ValueError:
+            logging.getLogger(__name__).warning(
+                "ignoring non-integer SE_CC_LOCAL_EDGES=%r; using %d",
+                raw, CC_LOCAL_EDGE_LIMIT,
+            )
+            local_threshold = CC_LOCAL_EDGE_LIMIT
     base = nodes.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("doc_id").cast("long").alias("cluster_id"),
     )
+    probe_df = None
     if local_threshold > 0:
         # persist -> count -> collect: pair generation (the expensive
         # LSH-verification pipeline) runs ONCE and the probe reads the
@@ -851,45 +863,69 @@ def connected_components(
         # it has t+1 rows, so a generous threshold over a small pair
         # set re-executes the verification join several times
         # (measured 16.7 s vs ~5 s for this cache-probe at sf0.1).
-        probe_df = edges.select(
-            F.col("doc_a").cast("long").alias("doc_a"),
-            F.col("doc_b").cast("long").alias("doc_b"),
-        ).persist()
-        try:
-            if probe_df.count() <= local_threshold:
+        # Null endpoints and endpoints outside ``nodes`` are dropped
+        # FIRST — the distributed loop's label joins ignore such edges,
+        # so the union-find must never see them (a union through a
+        # non-node would re-root a cluster onto a doc_id that cannot be
+        # kept as its representative).
+        node_ids = base.select("doc_id")
+        probe_df = (
+            edges.select(
+                F.col("doc_a").cast("long").alias("doc_a"),
+                F.col("doc_b").cast("long").alias("doc_b"),
+            )
+            .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+            .join(
+                node_ids.withColumnRenamed("doc_id", "doc_a"),
+                "doc_a", "leftsemi",
+            )
+            .join(
+                node_ids.withColumnRenamed("doc_id", "doc_b"),
+                "doc_b", "leftsemi",
+            )
+            .persist()
+        )
+        if probe_df.count() <= local_threshold:
+            try:
                 mapping = _local_components(
                     [(int(r[0]), int(r[1])) for r in probe_df.collect()]
                 )
-                if not mapping:
-                    return base
-                spark = nodes.sparkSession
-                lbl = spark.createDataFrame(
-                    list(mapping.items()), "doc_id long, _lbl long"
+            finally:
+                probe_df.unpersist()
+            if not mapping:
+                return base
+            spark = nodes.sparkSession
+            lbl = spark.createDataFrame(
+                list(mapping.items()), "doc_id long, _lbl long"
+            )
+            return (
+                base.select("doc_id")
+                .join(F.broadcast(lbl), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("_lbl"), F.col("doc_id")).alias(
+                        "cluster_id"
+                    ),
                 )
-                return (
-                    base.select("doc_id")
-                    .join(F.broadcast(lbl), "doc_id", "left")
-                    .select(
-                        "doc_id",
-                        F.coalesce(F.col("_lbl"), F.col("doc_id")).alias(
-                            "cluster_id"
-                        ),
-                    )
-                )
-        finally:
-            probe_df.unpersist()
-    sym = edges.select(
-        F.col("doc_a").cast("long").alias("src"),
-        F.col("doc_b").cast("long").alias("dst"),
-    )
+            )
+    if probe_df is not None:
+        # over budget: reuse the persisted probe frame — the pair
+        # pipeline must not recompute for the loop's edge table
+        sym = probe_df.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    else:
+        sym = edges.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
     sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = nodes.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("doc_id").cast("long").alias("cluster_id"),
-    ).localCheckpoint(eager=True)
+    labels = base.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+    if probe_df is not None:
+        probe_df.unpersist()
     prev_sum = labels.agg(
         F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]

@@ -413,7 +413,7 @@ def test_streaming_positions_serve_phrase(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = e._docs(spark, "/root/testdata/sf0.001").limit(60).cache()
+    base = e._docs(spark, "/root/testdata/sf0.001").orderBy("pid").limit(60).cache()
     redo_pid = base.orderBy("pid").first()["pid"]
     src = tmp_path / "src"
     src.mkdir()
@@ -421,9 +421,9 @@ def test_streaming_positions_serve_phrase(spark, tmp_path):
         pa.Table.from_pandas(base.toPandas()), str(src / "f1.parquet")
     )
     sidx = str(tmp_path / "sidx")
-    start_ingest(
+    assert start_ingest(
         spark, str(src), sidx, stem_stop=False, positions=True
-    ).awaitTermination(120)
+    ).awaitTermination(180)
     # batch 2: one superseding re-ingest + one brand-new doc
     pq.write_table(
         pa.table(
@@ -434,9 +434,9 @@ def test_streaming_positions_serve_phrase(spark, tmp_path):
         ),
         str(src / "f2.parquet"),
     )
-    start_ingest(
+    assert start_ingest(
         spark, str(src), sidx, stem_stop=False, positions=True
-    ).awaitTermination(120)
+    ).awaitTermination(180)
 
     compact_to_dir(spark, sidx, str(tmp_path / "out"))
     loaded = InvertedIndex.load(spark, str(tmp_path / "out"))
@@ -506,7 +506,7 @@ def test_incremental_positions_phrase_parity(spark, tmp_path):
         start_ingest,
     )
 
-    base = e._docs(spark, "/root/testdata/sf0.001").limit(50).cache()
+    base = e._docs(spark, "/root/testdata/sf0.001").orderBy("pid").limit(50).cache()
     redo_pid = base.orderBy("pid").first()["pid"]
     src = tmp_path / "src"
     src.mkdir()
@@ -514,9 +514,9 @@ def test_incremental_positions_phrase_parity(spark, tmp_path):
         pa.Table.from_pandas(base.toPandas()), str(src / "f1.parquet")
     )
     sidx = str(tmp_path / "sidx")
-    start_ingest(
+    assert start_ingest(
         spark, str(src), sidx, stem_stop=False, positions=True
-    ).awaitTermination(120)
+    ).awaitTermination(180)
     compact_incremental(spark, sidx)  # seg_0
 
     pq.write_table(
@@ -528,9 +528,9 @@ def test_incremental_positions_phrase_parity(spark, tmp_path):
         ),
         str(src / "f2.parquet"),
     )
-    start_ingest(
+    assert start_ingest(
         spark, str(src), sidx, stem_stop=False, positions=True
-    ).awaitTermination(120)
+    ).awaitTermination(180)
     frames = compact_incremental(spark, sidx)  # seg_1 + tombstone
 
     final = base.filter(F.col("pid") != redo_pid).unionByName(
@@ -643,9 +643,9 @@ def test_stream_flag_mismatch_on_resume(spark, tmp_path):
         str(src / "f1.parquet"),
     )
     sidx = str(tmp_path / "sidx")
-    start_ingest(
+    assert start_ingest(
         spark, str(src), sidx, stem_stop=False, positions=True
-    ).awaitTermination(120)
+    ).awaitTermination(180)
     with pytest.raises(ValueError, match="flag mismatch"):
         start_ingest(spark, str(src), sidx, stem_stop=False, positions=False)
     with pytest.raises(ValueError, match="flag mismatch"):
@@ -742,7 +742,7 @@ def test_streaming_fields_serve_fielded_search(spark, tmp_path):
 
     raw = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
-    ).limit(60)
+    ).orderBy("doc_id").limit(60)
     docs = raw.select(
         F.concat(
             F.lit("repo"),
@@ -760,9 +760,9 @@ def test_streaming_fields_serve_fielded_search(spark, tmp_path):
         pa.Table.from_pandas(docs.toPandas()), str(src / "f1.parquet")
     )
     sidx = str(tmp_path / "sidx")
-    start_ingest(
+    assert start_ingest(
         spark, str(src), sidx, stem_stop=False, fields=True
-    ).awaitTermination(120)
+    ).awaitTermination(180)
     compact_to_dir(spark, sidx, str(tmp_path / "out"))
     loaded = InvertedIndex.load(spark, str(tmp_path / "out"))
     assert loaded.manifest["flags"]["fields"] is True
@@ -790,3 +790,27 @@ def test_streaming_fields_serve_fielded_search(spark, tmp_path):
         ).collect()
     }
     assert got != content_only
+
+
+def test_cc_ignores_edges_outside_nodes_and_nulls(spark):
+    """Edges touching ids absent from `nodes` (or NULL) contribute
+    nothing in the distributed loop (its label joins drop them) — the
+    fast path must match, or a cluster could be rooted on a non-node
+    and lose its keep-representative downstream."""
+    from searchengine_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(3, 5), (3, 6), (6, 7), (None, 7)],
+        "doc_a long, doc_b long",
+    )
+    for thr in (10**9, 0):  # fast path, distributed path
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(
+                nodes, edges, local_threshold=thr
+            ).collect()
+        }
+        # 3 is not a node: (3,5)/(3,6) are ignored, so 5 stays alone
+        # and 6-7 form the only cluster
+        assert got == {(5, 5), (6, 6), (7, 6)}, (thr, got)
