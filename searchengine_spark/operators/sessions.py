@@ -202,10 +202,11 @@ def sessionize_stream(
 
 def _q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming sessionization (applyInPandasWithState) over
-    the events backlog. Registered WITHOUT a SQL oracle (the driver
-    records the weaker rows-only check): an iterative stateful stream
-    is not SQL-expressible, but its single-backlog output is pinned
-    equal to the batch operator in tests/test_round2.py."""
+    the events backlog. An ``availableNow`` single-file backlog is one
+    deterministic micro-batch, so the output equals the batch
+    ``sessionize`` exactly (pinned in tests/test_round2.py) — the batch
+    operator's SQL twin is therefore a valid oracle for the stream gate
+    too, and is registered below (``_SESSIONIZE_SQL``)."""
     import shutil
     import tempfile
 
@@ -216,14 +217,7 @@ def _q_sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _OUT_SCHEMA)
 
 
-register("event_sessionization_stream", _q_sessionization_stream, None)
-
-register(
-    "event_sessionization",
-    lambda spark, sf_dir: sessionize(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-    ),
-    f"""
+_SESSIONIZE_SQL = f"""
 WITH e AS (
   SELECT CAST(user_id AS BIGINT) AS user_id, ts,
          CAST(event_id AS BIGINT) AS event_id, CAST(value AS DOUBLE) AS value,
@@ -251,5 +245,14 @@ SELECT user_id, session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), {ROUND}) AS sum_value
 FROM sess GROUP BY user_id, session_id
-""",
+"""
+
+register("event_sessionization_stream", _q_sessionization_stream, _SESSIONIZE_SQL)
+
+register(
+    "event_sessionization",
+    lambda spark, sf_dir: sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ),
+    _SESSIONIZE_SQL,
 )
