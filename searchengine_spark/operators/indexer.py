@@ -1298,3 +1298,184 @@ def build_index(
         # every stage is materialized to parquet; cached intermediates can go
         _release_persisted()
     return InvertedIndex(spark, str(root), manifest)
+
+
+def _swap_dir(tmp: Path, dst: Path) -> None:
+    """Atomically-enough replace ``dst`` with ``tmp`` (rename old aside,
+    rename tmp in, delete old): a reader that opened files before the
+    swap keeps its handles; a crash between the renames leaves either
+    the old or the new dir fully intact, never a half-written one."""
+    old = dst.with_name(dst.name + "__old")
+    if old.exists():
+        shutil.rmtree(old)
+    if dst.exists():
+        dst.rename(old)
+    tmp.rename(dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def optimize_index(
+    spark: SparkSession,
+    index_dir: str,
+    num_partitions: int | None = None,
+) -> InvertedIndex:
+    """Segment-then-optimize completion: derive the batch build's
+    OPTIMIZATION artifacts for a servable index that lacks them — the
+    Lucene-style background *optimize* a long-lived streamed index
+    needs so it never requires a full batch rebuild for block-max
+    pruning or compression (the round-4 documented gap, closed):
+
+      * ``block_id`` on postings/ via the √df skip-block law
+        (VocabularyEntry.java:348-361) + ``num_blocks``/``max_per_block``
+        on lexicon/ — both rewritten in place via tmp-dir swap,
+      * ``blocks/`` with stored per-block max scores (Ding & Suel,
+        SIGIR 2011 — same numpy kernel as the serving scorer, so the
+        bound is bit-identical to every query-time score),
+      * ``postings_packed/`` (gap-VB docids + unary tfs, C1/C3) via the
+        shuffle-free interior packer,
+      * ``positions_packed/`` (gap-VB position arrays) replacing the
+        plain positions/ when the index has a positional stage.
+
+    Input: any servable dir in the batch layout — in practice the
+    streaming handoffs ``compact_to_dir`` / ``compact_incremental_to_dir``
+    (streaming/incremental.py), whose postings/positions land already
+    (term, docid)-range-sorted, which is exactly the layout the packer's
+    interior fast path wants. Idempotent per artifact (resume checks
+    ``_SUCCESS`` / existing columns); after it, ``maxscore_topk(...,
+    block_max=True)`` and packed phrase serving behave exactly as on a
+    ``build_index(compression=True)`` index (parity pinned in
+    tests/test_round5.py)."""
+    root = Path(index_dir)
+    manifest_path = root / "manifest.json"
+    manifest = json.loads(manifest_path.read_text())
+    flags = manifest["flags"]
+    stats = manifest["stats"]
+    avgdl = stats["total_doc_len"] / stats["n_docs"]
+    min_splits = 2 * spark.sparkContext.defaultParallelism
+    _mpb_before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+
+    def record(stage: str, t0: float) -> None:
+        manifest.setdefault("stages", {})[stage] = {
+            "sec": round(time.time() - t0, 3)
+        }
+        manifest_path.write_text(json.dumps(manifest, indent=2))
+
+    try:
+        postings_dir = root / "postings"
+        if "block_id" not in spark.read.parquet(str(postings_dir)).columns:
+            t0 = time.time()
+            staged = _read_stage(spark, postings_dir, min_splits)
+            # √df block law + single range shuffle serving both the rank
+            # stamp and the final layout — same plan as build stage 3
+            df_per_term = staged.groupBy("term").agg(F.count("*").alias("df"))
+            blk = df_per_term.select(
+                "term",
+                "df",
+                F.when(
+                    F.col("df") >= BLOCK_DF_THRESHOLD,
+                    F.ceil(F.sqrt(F.col("df"))),
+                )
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("num_blocks"),
+            ).withColumn(
+                "max_per_block",
+                F.ceil(F.col("df") / F.col("num_blocks")).cast("long"),
+            )
+            joined = staged.join(blk.select("term", "max_per_block"), "term")
+            ranked = _rank_within_groups(
+                joined, "term", "docid", "posting_rank",
+                num_partitions=num_partitions,
+            )
+            merged = ranked.withColumn(
+                "block_id",
+                (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
+            ).select("term", "docid", "tf", "doc_len", "block_id")
+            tmp = root / "postings__opt"
+            merged.write.mode("overwrite").parquet(str(tmp))
+            _release_persisted()  # ranked's range layout is on disk now
+            _swap_dir(tmp, postings_dir)
+            record("optimize_postings_blocks", t0)
+
+        lexicon_dir = root / "lexicon"
+        if "num_blocks" not in spark.read.parquet(str(lexicon_dir)).columns:
+            t0 = time.time()
+            # recompute the block meta from the (possibly just-swapped)
+            # postings dir — df per term is unchanged by the rewrite, and
+            # a frame captured before the swap would re-list deleted files
+            blk_meta = (
+                spark.read.parquet(str(postings_dir))
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .select(
+                    "term",
+                    F.when(
+                        F.col("df") >= BLOCK_DF_THRESHOLD,
+                        F.ceil(F.sqrt(F.col("df"))),
+                    )
+                    .otherwise(F.lit(1))
+                    .cast("long")
+                    .alias("num_blocks"),
+                    "df",
+                )
+                .select(
+                    "term",
+                    "num_blocks",
+                    F.ceil(F.col("df") / F.col("num_blocks"))
+                    .cast("long")
+                    .alias("max_per_block"),
+                )
+            )
+            lex = spark.read.parquet(str(lexicon_dir)).join(blk_meta, "term")
+            tmp = root / "lexicon__opt"
+            lex.write.mode("overwrite").parquet(str(tmp))
+            _swap_dir(tmp, lexicon_dir)
+            record("optimize_lexicon", t0)
+
+        blocks_dir = root / "blocks"
+        if not _stage_done(blocks_dir):
+            t0 = time.time()
+            postings = _read_stage(spark, postings_dir, min_splits)
+            lexw = spark.read.parquet(str(root / "lexicon")).select(
+                "term", "idf"
+            )
+            _blocks_with_bmax(postings.join(lexw, "term"), float(avgdl)).write.mode(
+                "overwrite"
+            ).parquet(str(blocks_dir))
+            record("optimize_blocks_bmax", t0)
+
+        packed_dir = root / "postings_packed"
+        if not _stage_done(packed_dir):
+            t0 = time.time()
+            postings = _read_stage(spark, postings_dir, min_splits)
+            pack_postings(postings).write.mode("overwrite").parquet(
+                str(packed_dir)
+            )
+            record("optimize_postings_packed", t0)
+
+        if flags.get("positions", False) and not flags.get(
+            "positions_packed", False
+        ):
+            pos_dir = root / "positions"
+            pos_packed_dir = root / "positions_packed"
+            if not _stage_done(pos_packed_dir):
+                t0 = time.time()
+                pos = _read_stage(spark, pos_dir, min_splits)
+                pack_positions(pos).write.mode("overwrite").parquet(
+                    str(pos_packed_dir)
+                )
+                record("optimize_positions_packed", t0)
+            # the packed stage fully supersedes the plain one (the batch
+            # compression build writes only positions_packed/)
+            shutil.rmtree(pos_dir, ignore_errors=True)
+            flags["positions_packed"] = True
+
+        flags["compression"] = True
+        manifest_path.write_text(json.dumps(manifest, indent=2))
+    finally:
+        if _mpb_before is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", _mpb_before)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        _release_persisted()
+    return InvertedIndex(spark, str(root), manifest)

@@ -100,26 +100,21 @@ _FETCH_MEM_FRACTION = 8  # budget = driver memory / 8 / bytes-per-posting
 _FETCH_BUDGET_ATTR = "_se_fetch_budget"
 
 
-def _default_fetch_budget(spark) -> int:
-    """Fetch budget (in postings) derived from the driver's memory
-    instead of a constant: the gathered query-term lists cost about
-    ``_BYTES_PER_POSTING`` bytes each on the driver, and the budget
-    caps them at 1/``_FETCH_MEM_FRACTION`` of ``spark.driver.memory``
-    (the LRU holds up to 1000 terms, so headroom matters). Deploys pin
-    it with SE_MAXSCORE_FETCH_POSTINGS, like the warm thresholds."""
-    import os
+_DRIVER_MEM_ATTR = "_se_driver_memory_bytes"
 
-    env = os.environ.get("SE_MAXSCORE_FETCH_POSTINGS")
-    if env:
-        return int(env)
-    cached = getattr(spark, _FETCH_BUDGET_ATTR, None)
+
+def driver_memory_bytes(spark) -> int:
+    """``spark.driver.memory`` in bytes — the sizing input every
+    driver-side budget (maxscore's fetch budget, dedup's CC edge
+    limit) derives from. The value lives in the SparkConf, not the
+    runtime SQL conf — read it there first so large-driver deployments
+    actually get larger budgets instead of silently landing on the 1g
+    default. Memoized as an attribute ON the session object:
+    ``sparkContext.getConf()`` copies the whole conf through py4j
+    (~14 ms) and must never run per query."""
+    cached = getattr(spark, _DRIVER_MEM_ATTR, None)
     if cached is not None:
         return cached
-    # spark.driver.memory lives in the SparkConf, not the runtime SQL
-    # conf — read it there first so large-driver deployments actually
-    # get the larger budget instead of silently landing on the 1g
-    # default (which would flip driver-served queries to the
-    # distributed fallback).
     mem = None
     try:
         mem = spark.sparkContext.getConf().get("spark.driver.memory", None)
@@ -139,13 +134,37 @@ def _default_fetch_budget(spark) -> int:
         nbytes = int(float(m)) * mult
     except ValueError:
         nbytes = 1 << 30
+    try:
+        setattr(spark, _DRIVER_MEM_ATTR, nbytes)
+    except Exception:
+        pass
+    return nbytes
+
+
+def _default_fetch_budget(spark) -> int:
+    """Fetch budget (in postings) derived from the driver's memory
+    instead of a constant: the gathered query-term lists cost about
+    ``_BYTES_PER_POSTING`` bytes each on the driver, and the budget
+    caps them at 1/``_FETCH_MEM_FRACTION`` of ``spark.driver.memory``
+    (the LRU holds up to 1000 terms, so headroom matters). Deploys pin
+    it with SE_MAXSCORE_FETCH_POSTINGS, like the warm thresholds."""
+    import os
+
+    env = os.environ.get("SE_MAXSCORE_FETCH_POSTINGS")
+    if env:
+        return int(env)
+    cached = getattr(spark, _FETCH_BUDGET_ATTR, None)
+    if cached is not None:
+        return cached
+    nbytes = driver_memory_bytes(spark)
     budget = max(
         1_000_000, int(nbytes // _FETCH_MEM_FRACTION // _BYTES_PER_POSTING)
     )
     import logging
 
     logging.getLogger(__name__).debug(
-        "maxscore fetch budget: driver.memory=%s -> %d postings", mem, budget
+        "maxscore fetch budget: driver.memory=%d bytes -> %d postings",
+        nbytes, budget,
     )
     try:
         setattr(spark, _FETCH_BUDGET_ATTR, budget)
@@ -465,19 +484,31 @@ def _serve(
         )
     lists.sort(key=lambda pl: pl["tub"])  # ascending (MaxScore.java:309-322)
 
+    # candidate-docid upper bound from the FETCHED lists, not n_docs:
+    # the incremental segment store's stable docids keep growing while
+    # its live n_docs shrinks on supersede, so a doc with docid > n_docs
+    # exists and must be scored (a batch build's dense 1..N ids make the
+    # two coincide). The lists are docid-sorted, so this is O(|q|).
+    max_docid = max(
+        (int(pl["docids"][-1]) for pl in lists if len(pl["docids"])),
+        default=0,
+    )
     total_postings = sum(len(pl["docids"]) for pl in lists)
     if total_postings <= local_threshold and num_slices is None:
         # serving fast path: the lists are already on the driver (the
         # reference's single-node posture) — score here, no Spark jobs
         local = _maxscore_slice(
-            lists, 1, n_docs + 1, k, conjunctive, round_decimals
+            lists, 1, max_docid + 1, k, conjunctive, round_decimals
         )
     else:
         sc = spark.sparkContext
         bc = sc.broadcast(lists)
         p = num_slices or max(2, min(sc.defaultParallelism, 64))
-        step = max(1, (n_docs + p) // p)
-        ranges = [(lo, min(lo + step, n_docs + 1)) for lo in range(1, n_docs + 1, step)]
+        step = max(1, (max_docid + p) // p)
+        ranges = [
+            (lo, min(lo + step, max_docid + 1))
+            for lo in range(1, max_docid + 1, step)
+        ]
 
         def run_slice(rng):
             lo, hi = rng

@@ -163,25 +163,30 @@ def start_ingest(
     return writer.start()
 
 
-def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
-    """Materialize the compacted streaming index as a SERVABLE disk
-    index (same layout as the batch build: doc_stats/, postings/,
-    lexicon/, manifest.json — plus positions/ and field_postings/ when
-    the ingest ran with those flags), so ``InvertedIndex.load(out_dir)``
-    works on it — the streaming-ingest-to-serving handoff. Postings
-    land range-partitioned and sorted by (term, docid) like the batch
-    merge stage. Serving parity: DAAT top-k, MaxScore (lexicon TUBs),
-    phrase/proximity/snippets and BM25F fielded search all work; the
-    OPTIMIZATION artifacts only a batch build writes (block-max
-    descriptors in blocks/, gap-VB packed codecs) come from a periodic
-    batch rebuild over the compacted corpus — the standard
-    segment-then-optimize posture."""
+def _write_servable(
+    spark: SparkSession,
+    frames,
+    out_dir: str,
+    index_dir: str,
+    positions_df: DataFrame | None,
+    optimize: bool,
+):
+    """Shared disk handoff for both streaming compaction flavors:
+    materialize an ``IndexFrames`` in the batch build's layout
+    (doc_stats/, postings/ range-sorted by (term, docid), lexicon/,
+    manifest.json — plus positions/ and field_postings/ when the ingest
+    ran with those flags) so ``InvertedIndex.load(out_dir)`` works on
+    it. With ``optimize=True`` the handoff is completed by
+    ``indexer.optimize_index`` — block descriptors with stored
+    block-max scores plus gap-VB packed postings/positions — so the
+    streamed index serves MaxScore block-max pruning and the packed
+    codecs WITHOUT a batch rebuild (the segment-then-optimize
+    lifecycle, now closed end-to-end)."""
     import json
     from pathlib import Path
 
-    from ..operators.indexer import InvertedIndex, _n_eff
+    from ..operators.indexer import InvertedIndex, _n_eff, optimize_index
 
-    frames = compact(spark, index_dir)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     frames.doc_stats.write.mode("overwrite").parquet(str(out / "doc_stats"))
@@ -196,27 +201,8 @@ def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
     frames.lexicon.write.mode("overwrite").parquet(str(out / "lexicon"))
     flags = dict(frames.manifest["flags"])
     if flags.get("positions", False):
-        # fold the positional staging area (latest batch per pid wins,
-        # same superseding rule as stage_stream) onto the docids the
-        # compaction just assigned, in the batch build's (term, docid)
-        # range layout — the streamed index then serves phrase /
-        # proximity / snippets through the identical disk contract
-        staged_pos = spark.read.parquet(f"{index_dir}/pos_stream")
-        # latest-wins from STAGE_STREAM (the authoritative doc-version
-        # table), not pos_stream: start_ingest enforces the positions
-        # flag across resumes so the two stay in lockstep, but the doc
-        # version compacted into doc_stats must always govern which
-        # positional rows serve
-        latest = (
-            spark.read.parquet(f"{index_dir}/stage_stream")
-            .groupBy("pid")
-            .agg(F.max("batch_id").alias("batch_id"))
-        )
-        ds = spark.read.parquet(str(out / "doc_stats")).select("pid", "docid")
         (
-            staged_pos.join(latest, ["pid", "batch_id"])
-            .join(ds, "pid")
-            .select("term", "docid", "doc_len", "tf", "positions")
+            positions_df.select("term", "docid", "doc_len", "tf", "positions")
             .repartitionByRange(_n_eff(spark), "term", "docid")
             .sortWithinPartitions("term", "docid")
             .write.mode("overwrite")
@@ -248,7 +234,77 @@ def compact_to_dir(spark: SparkSession, index_dir: str, out_dir: str):
         "stats": stats,
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    if optimize:
+        return optimize_index(spark, str(out))
     return InvertedIndex(spark, str(out), manifest)
+
+
+def compact_to_dir(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    optimize: bool = False,
+):
+    """Materialize the compacted streaming index as a SERVABLE disk
+    index — the streaming-ingest-to-serving handoff (full recompaction
+    flavor: dense docids reassigned globally). Serving parity with a
+    batch build: DAAT top-k, MaxScore (lexicon TUBs), phrase/proximity/
+    snippets and BM25F fielded search all work as-is; pass
+    ``optimize=True`` (or call ``indexer.optimize_index`` later, e.g.
+    on a background schedule) to also derive the block-max descriptors
+    and gap-VB packed postings/positions, after which block-max
+    MaxScore and packed phrase serving match a compression batch
+    build exactly."""
+    frames = compact(spark, index_dir)
+    positions_df = None
+    if frames.manifest["flags"].get("positions", False):
+        # fold the positional staging area (latest batch per pid wins,
+        # same superseding rule as stage_stream) onto the docids the
+        # compaction just assigned. Latest-wins comes from STAGE_STREAM
+        # (the authoritative doc-version table), not pos_stream:
+        # start_ingest enforces the positions flag across resumes so
+        # the two stay in lockstep, but the doc version compacted into
+        # doc_stats must always govern which positional rows serve
+        staged_pos = spark.read.parquet(f"{index_dir}/pos_stream")
+        latest = (
+            spark.read.parquet(f"{index_dir}/stage_stream")
+            .groupBy("pid")
+            .agg(F.max("batch_id").alias("batch_id"))
+        )
+        ds = frames.doc_stats.select("pid", "docid")
+        positions_df = (
+            staged_pos.join(latest, ["pid", "batch_id"])
+            .join(ds, "pid")
+            .select("term", "docid", "doc_len", "tf", "positions")
+        )
+    return _write_servable(
+        spark, frames, out_dir, index_dir, positions_df, optimize
+    )
+
+
+def compact_incremental_to_dir(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    optimize: bool = False,
+):
+    """Disk handoff for the O(delta) segment store
+    (``compact_incremental``): same servable layout as
+    ``compact_to_dir`` but docids are the segment store's STABLE ids
+    and positions come straight from the committed positional segments
+    (``incremental_positions`` — already on the right docids, with
+    tombstones applied), so the handoff never re-joins the staging
+    area. With ``optimize=True`` the dir gains blocks/ + packed
+    postings/positions (``indexer.optimize_index``) — a long-lived
+    streamed corpus gets block-max pruning and compression on a
+    background compact-then-optimize schedule, never a full rebuild."""
+    frames = compact_incremental(spark, index_dir)
+    positions_df = None
+    if frames.manifest["flags"].get("positions", False):
+        positions_df = incremental_positions(spark, index_dir)
+    return _write_servable(
+        spark, frames, out_dir, index_dir, positions_df, optimize
+    )
 
 
 _WINDOW_SINK_SEQ = [0]

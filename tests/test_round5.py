@@ -1,0 +1,227 @@
+"""Round-5 additions: the streamed-index OPTIMIZE stage (blocks/ with
+stored block-max scores + gap-VB packed postings/positions derived from
+a streamed/compacted index, no batch rebuild), the incremental segment
+store's disk handoff, and supporting fixes."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_docs_file(df, path):
+    pq.write_table(pa.Table.from_pandas(df.toPandas()), str(path))
+
+
+def _topk_by_pid(idx, q, **kw):
+    from searchengine_spark.operators.maxscore import maxscore_topk
+
+    return [
+        (r["pid"], round(r["score"], 9))
+        for r in maxscore_topk(idx, q, k=10, round_decimals=9, **kw).collect()
+    ]
+
+
+def _phrase_by_pid(idx, terms):
+    from searchengine_spark.operators.phrase import phrase_search_indexed
+
+    res = phrase_search_indexed(idx, terms, k=1000)
+    return {
+        (r["pid"], r["phrase_tf"])
+        for r in res.join(
+            idx.doc_stats.select("docid", "pid"), "docid"
+        ).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def optimized_vs_batch(spark, tmp_path_factory):
+    """Streamed ingest (2 micro-batches, one superseding re-ingest)
+    -> compact_to_dir(optimize=True) next to a compression batch build
+    over the same final corpus."""
+    import __spark_entry__ as e
+    from searchengine_spark.operators.indexer import IndexConfig, build_index
+    from searchengine_spark.streaming.incremental import (
+        compact_to_dir,
+        start_ingest,
+    )
+
+    tmp = tmp_path_factory.mktemp("opt")
+    base = (
+        e._docs(spark, "/root/testdata/sf0.001").orderBy("pid").limit(80).cache()
+    )
+    redo_pid = base.orderBy("pid").first()["pid"]
+    src = tmp / "src"
+    src.mkdir()
+    _write_docs_file(base, src / "f1.parquet")
+    sidx = str(tmp / "sidx")
+    assert start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(180)
+    pq.write_table(
+        pa.table(
+            {
+                "pid": [redo_pid, "zzznew"],
+                "content": ["alpha beta alpha beta", "alpha beta spark join"],
+            }
+        ),
+        str(src / "f2.parquet"),
+    )
+    assert start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(180)
+
+    opt = compact_to_dir(spark, sidx, str(tmp / "out"), optimize=True)
+
+    final = base.filter(F.col("pid") != redo_pid).unionByName(
+        spark.createDataFrame(
+            [
+                (redo_pid, "alpha beta alpha beta"),
+                ("zzznew", "alpha beta spark join"),
+            ],
+            "pid string, content string",
+        )
+    )
+    batch = build_index(
+        final,
+        str(tmp / "batch"),
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    return opt, batch, tmp
+
+
+def test_optimize_flags_and_artifacts(optimized_vs_batch):
+    opt, batch, _ = optimized_vs_batch
+    flags = opt.manifest["flags"]
+    assert flags["compression"] is True
+    assert flags["positions"] is True
+    assert flags["positions_packed"] is True
+    # stored block-max structure present, same schema as the batch build
+    assert set(opt.blocks.columns) == set(batch.blocks.columns)
+    assert "bmax_bm25" in opt.blocks.columns
+    assert "num_blocks" in opt.lexicon.columns
+    assert "block_id" in opt.postings.columns
+
+
+def test_optimize_postings_rows_equal_batch(optimized_vs_batch):
+    """compact_to_dir assigns dense docids by pid exactly like the batch
+    build, so after optimize the FULL postings rows (block ids included)
+    and the packed blocks must match the batch compression build."""
+    opt, batch, _ = optimized_vs_batch
+    cols = ["term", "docid", "tf", "doc_len", "block_id"]
+    got = {tuple(r) for r in opt.postings.select(*cols).collect()}
+    want = {tuple(r) for r in batch.postings.select(*cols).collect()}
+    assert got == want
+    pcols = [
+        "term", "block_id", "num_postings", "max_docid",
+        "docids_vb", "tfs_unary",
+    ]
+    gotp = {tuple(r) for r in opt.postings_packed.select(*pcols).collect()}
+    wantp = {tuple(r) for r in batch.postings_packed.select(*pcols).collect()}
+    assert gotp == wantp
+
+
+def test_optimize_blocks_bmax_equal_batch(optimized_vs_batch):
+    opt, batch, _ = optimized_vs_batch
+    cols = [
+        "term", "block_id", "max_docid", "num_postings",
+        "bmax_bm25", "bmax_tfidf",
+    ]
+    got = {tuple(r) for r in opt.blocks.select(*cols).collect()}
+    want = {tuple(r) for r in batch.blocks.select(*cols).collect()}
+    assert got == want
+
+
+def test_optimize_serves_blockmax_maxscore(optimized_vs_batch):
+    opt, batch, _ = optimized_vs_batch
+    for q in ("alpha beta", "spark join", "the quick data"):
+        got = _topk_by_pid(opt, q, block_max=True)
+        want = _topk_by_pid(batch, q, block_max=True)
+        assert got == want, q
+        # and block-max pruning stays rank-identical to exact DAAT
+        assert got == _topk_by_pid(opt, q, block_max=False), q
+
+
+def test_optimize_serves_packed_phrase(optimized_vs_batch):
+    opt, batch, _ = optimized_vs_batch
+    for terms in (["alpha", "beta"], ["spark", "join"]):
+        assert _phrase_by_pid(opt, terms) == _phrase_by_pid(batch, terms)
+
+
+def test_optimize_idempotent(spark, optimized_vs_batch):
+    """Re-running optimize on an already-optimized dir is a cheap no-op
+    (every artifact resume-checks), and the index still serves."""
+    from searchengine_spark.operators.indexer import optimize_index
+
+    opt, batch, tmp = optimized_vs_batch
+    again = optimize_index(spark, str(tmp / "out"))
+    assert _topk_by_pid(again, "alpha beta", block_max=True) == _topk_by_pid(
+        batch, "alpha beta", block_max=True
+    )
+
+
+def test_incremental_to_dir_optimized(spark, tmp_path):
+    """O(delta) segment store -> compact_incremental_to_dir(optimize=True):
+    block-max MaxScore and packed phrase serving on STABLE docids, equal
+    per pid to a batch compression build over the final corpus."""
+    import __spark_entry__ as e
+    from searchengine_spark.operators.indexer import IndexConfig, build_index
+    from searchengine_spark.streaming.incremental import (
+        compact_incremental,
+        compact_incremental_to_dir,
+        start_ingest,
+    )
+
+    base = (
+        e._docs(spark, "/root/testdata/sf0.001").orderBy("pid").limit(50).cache()
+    )
+    redo_pid = base.orderBy("pid").first()["pid"]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_docs_file(base, src / "f1.parquet")
+    sidx = str(tmp_path / "sidx")
+    assert start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(180)
+    compact_incremental(spark, sidx)  # segment 0
+    pq.write_table(
+        pa.table(
+            {
+                "pid": [redo_pid, "zzznew"],
+                "content": ["alpha beta alpha beta", "alpha beta spark join"],
+            }
+        ),
+        str(src / "f2.parquet"),
+    )
+    assert start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(180)
+    opt = compact_incremental_to_dir(
+        spark, sidx, str(tmp_path / "out"), optimize=True
+    )  # segment 1 folds in here
+
+    final = base.filter(F.col("pid") != redo_pid).unionByName(
+        spark.createDataFrame(
+            [
+                (redo_pid, "alpha beta alpha beta"),
+                ("zzznew", "alpha beta spark join"),
+            ],
+            "pid string, content string",
+        )
+    )
+    batch = build_index(
+        final,
+        str(tmp_path / "batch"),
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    assert opt.manifest["flags"]["positions_packed"] is True
+    for q in ("alpha beta", "spark join"):
+        # docids differ (stable segment ids vs dense rebuild) — compare
+        # by pid; scores are docid-independent
+        got = sorted(_topk_by_pid(opt, q, block_max=True))
+        want = sorted(_topk_by_pid(batch, q, block_max=True))
+        assert got == want, q
+    for terms in (["alpha", "beta"], ["spark", "join"]):
+        assert _phrase_by_pid(opt, terms) == _phrase_by_pid(batch, terms)
+    # tombstoned positions are gone from the packed artifact too
+    assert (redo_pid, 2) in _phrase_by_pid(opt, ["alpha", "beta"])
