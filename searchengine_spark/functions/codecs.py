@@ -27,6 +27,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def _vb_widths(vals: np.ndarray) -> np.ndarray:
+    """Per-value VB byte width (number of 7-bit digits; 0 -> 1, the
+    0x00 quirk byte). Shared by ``vb_encode`` and ``vb_encode_rows`` so
+    the row splitter's framing is bit-identical to the encoder's layout
+    by construction, not by a duplicated float-log expression."""
+    safe = np.maximum(vals, 1)
+    nbytes = np.floor(np.log(safe) / np.log(128)).astype(np.int64) + 1
+    # guard float-log edge cases at powers of 128
+    return np.where(vals >= 128**nbytes, nbytes + 1, nbytes)
+
+
 def vb_encode(values: np.ndarray | list[int]) -> bytes:
     """Variable-byte encode an int array (big-endian, last-byte MSB)."""
     vals = np.asarray(values, dtype=np.int64)
@@ -34,12 +45,7 @@ def vb_encode(values: np.ndarray | list[int]) -> bytes:
         return b""
     if (vals < 0).any():
         raise ValueError("variable-byte encoding requires non-negative ints")
-    # number of 7-bit digits per value (0 -> 1 digit, the 0x00 quirk byte)
-    safe = np.maximum(vals, 1)
-    nbytes = (np.floor(np.log(safe) / np.log(128)).astype(np.int64) + 1)
-    # guard float-log edge cases at powers of 128
-    pow_check = 128 ** nbytes
-    nbytes = np.where(vals >= pow_check, nbytes + 1, nbytes)
+    nbytes = _vb_widths(vals)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     out = np.zeros(total, dtype=np.uint8)
@@ -116,10 +122,7 @@ def vb_encode_rows(arrays: list) -> list[bytes]:
         [np.asarray(a, dtype=np.int64) for a in arrays if len(a)]
     )
     blob = vb_encode(flat)
-    safe = np.maximum(flat, 1)
-    nb = np.floor(np.log(safe) / np.log(128)).astype(np.int64) + 1
-    nb = np.where(flat >= 128**nb, nb + 1, nb)
-    ends = np.cumsum(nb)
+    ends = np.cumsum(_vb_widths(flat))
     out: list[bytes] = []
     vpos = 0
     bpos = 0

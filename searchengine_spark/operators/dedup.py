@@ -761,13 +761,27 @@ def simhash_pairs(
 
 
 # duplicate-pair sets are output-sensitive (the LSH candidate set, not
-# |docs|^2): below this many edges an exact driver-side union-find
-# beats O(log d) rounds of Spark jobs outright. 1M edges costs a few
-# hundred MB peak on the driver (collect() Rows + the Python tuple
-# list + a dict of up to 2M boxed ints — NOT the 16 raw bytes/edge),
-# safe for the small-driver default. Same hybrid posture as MaxScore's
-# local_threshold; deploys with big drivers raise SE_CC_LOCAL_EDGES.
+# |docs|^2): below the edge budget an exact driver-side union-find
+# beats O(log d) rounds of Spark jobs outright. A collected edge costs
+# ~300 bytes peak on the driver (collect() Rows + the Python tuple
+# list + a dict of up to 2 boxed ints per edge — NOT the 16 raw
+# bytes), so the default budget derives from spark.driver.memory like
+# MaxScore's fetch budget (a 1g driver lands near the old 1M-edge
+# constant; big drivers scale up automatically). Env override:
+# SE_CC_LOCAL_EDGES. CC_LOCAL_EDGE_LIMIT remains the memory-unaware
+# floor/fallback.
 CC_LOCAL_EDGE_LIMIT = 1_000_000
+_CC_BYTES_PER_EDGE = 300
+_CC_MEM_FRACTION = 4  # budget caps edges at 1/4 of driver memory
+
+
+def _default_cc_edge_budget(spark) -> int:
+    from .maxscore import driver_memory_bytes
+
+    return max(
+        100_000,
+        int(driver_memory_bytes(spark) // _CC_MEM_FRACTION // _CC_BYTES_PER_EDGE),
+    )
 
 
 def _local_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -828,8 +842,9 @@ def connected_components(
     Scale shape: per round, one shuffle of |edges| (output-sensitive —
     the LSH candidate set, not |docs|^2) and two shuffles of |docs|
     (doc_id, label) pairs; the whole loop is O(log d) such rounds.
-    Below ``local_threshold`` edges (default ``CC_LOCAL_EDGE_LIMIT``,
-    env SE_CC_LOCAL_EDGES) the pair set collects to the driver for an
+    Below ``local_threshold`` edges (default derived from
+    ``spark.driver.memory`` — ``_default_cc_edge_budget``; env
+    override SE_CC_LOCAL_EDGES) the pair set collects to the driver for an
     exact union-find instead — one scalar count + one k-row collect +
     one broadcast join beats O(log d) rounds of jobs whenever the
     dup-pair set fits driver memory; labels are identical by
@@ -842,14 +857,17 @@ def connected_components(
         raw = os.environ.get("SE_CC_LOCAL_EDGES")
         try:
             local_threshold = (
-                int(raw) if raw is not None else CC_LOCAL_EDGE_LIMIT
+                int(raw)
+                if raw is not None
+                else _default_cc_edge_budget(nodes.sparkSession)
             )
         except ValueError:
+            fallback = _default_cc_edge_budget(nodes.sparkSession)
             logging.getLogger(__name__).warning(
                 "ignoring non-integer SE_CC_LOCAL_EDGES=%r; using %d",
-                raw, CC_LOCAL_EDGE_LIMIT,
+                raw, fallback,
             )
-            local_threshold = CC_LOCAL_EDGE_LIMIT
+            local_threshold = fallback
     base = nodes.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("doc_id").cast("long").alias("cluster_id"),

@@ -72,14 +72,34 @@ def gate_disk_index(spark: SparkSession, sf_dir: str):
         tmp = os.path.join(tempfile.gettempdir(), f"se_gate_idx_{key}")
         marker = os.path.join(tmp, "_GATE_INDEX_OK")
         if not os.path.exists(marker):
-            shutil.rmtree(tmp, ignore_errors=True)
+            # Build into a process-unique staging dir and os.rename it
+            # into the keyed path: a concurrent process that loses the
+            # publish race never rmtree's a directory another process
+            # is mid-build in or actively serving from (the rename is
+            # atomic; the loser just discards its own staging copy).
+            stage = f"{tmp}__build_{os.getpid()}"
+            shutil.rmtree(stage, ignore_errors=True)
             build_index(
                 entry._docs(spark, sf_dir),
-                tmp,
+                stage,
                 IndexConfig(stem_stop=False, compression=True, positions=True),
             )
-            with open(marker, "w") as fh:
+            with open(os.path.join(stage, "_GATE_INDEX_OK"), "w") as fh:
                 json.dump({"key": key}, fh)
+            try:
+                os.rename(stage, tmp)
+            except OSError:
+                if os.path.exists(marker):
+                    # another process published first — serve its copy
+                    shutil.rmtree(stage, ignore_errors=True)
+                else:
+                    # markerless leftover from a crashed pre-rename run:
+                    # replace it (nobody can be serving an unpublished dir)
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    try:
+                        os.rename(stage, tmp)
+                    except OSError:
+                        shutil.rmtree(stage, ignore_errors=True)
         idx = InvertedIndex.load(spark, tmp)
         _DISK_IDX[sf_dir] = idx
     return idx

@@ -708,7 +708,11 @@ gaps AS (
 SELECT term, docid, n_positions,
        CAST(list_sum(list_transform(gs, v ->
          CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2
-              WHEN v < 2097152 THEN 3 ELSE 4 END)) AS BIGINT) AS n_vb_bytes
+              WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4
+              WHEN v < 34359738368 THEN 5 WHEN v < 4398046511104 THEN 6
+              WHEN v < 562949953421312 THEN 7
+              WHEN v < 72057594037927936 THEN 8
+              ELSE 9 END)) AS BIGINT) AS n_vb_bytes
 FROM gaps
 """
 

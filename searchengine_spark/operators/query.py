@@ -435,6 +435,16 @@ def fielded_top_k(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
+    # INNER broadcast join, relying on the build invariant that every
+    # docid in postings/field_postings exists in doc_stats (all three
+    # are projections of the same stage-1 output, batch and streamed
+    # alike), so the join can never shrink the page below k. A LEFT
+    # join would preserve slots on a corrupted index, but Spark cannot
+    # broadcast the preserved side of a left outer join — the hint
+    # drops and the k-row lookup degrades to a full doc_stats shuffle,
+    # the wrong trade at 100 TB. (search_with_snippets' LEFT join is
+    # different: it runs on the already-collected O(k) rows, where
+    # retention is free.)
     return (
         F.broadcast(topk)
         .join(index.doc_stats.select("docid", "pid"), "docid")

@@ -399,6 +399,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_size: int = 4096,
+    debug_buckets: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -433,10 +434,14 @@ def semdedup(
     in the oracle gate configuration — are byte-identical to the
     uncapped semantics.
 
-    Returns (vec_id, cell, cell_rank, max_prior_cosine, keep);
-    ``max_prior_cosine`` is NULL for each cell's rank-1 item (always
-    kept). Filter ``keep`` and join back on vec_id to realize the
-    deduplicated corpus.
+    Returns (vec_id, cell, cell_rank, max_prior_cosine, keep) — the
+    STABLE public schema; ``max_prior_cosine`` is NULL for each
+    group's rank-1 item (always kept). Filter ``keep`` and join back
+    on vec_id to realize the deduplicated corpus. ``cell_rank`` is the
+    rank within the compare group — the whole cell normally, a
+    (cell, sub-bucket, block) group when the giant-cell cap triggered.
+    ``debug_buckets=True`` additionally exposes the internal ``lsub``/
+    ``blk`` bookkeeping so tests can assert the compare-group bound.
     """
     cells = ivf_cells(
         vectors, n_centroids, id_col, vec_col,
@@ -494,13 +499,13 @@ def semdedup(
             ).alias("max_prior_cosine")
         )
     )
+    debug_cols = ["lsub", "blk"] if debug_buckets else []
     return (
         ranked.join(max_prior, "vec_id", "left")
         .select(
             "vec_id",
             "cell",
-            "lsub",
-            "blk",
+            *debug_cols,
             "cell_rank",
             "max_prior_cosine",
             (
@@ -512,10 +517,10 @@ def semdedup(
 
 
 def semdedup_keep(*args, **kwargs) -> DataFrame:
-    """Gate/consumer view of :func:`semdedup` without the internal
-    sub-bucket bookkeeping columns (lsub/blk exist so tests can assert
-    the giant-cell compare-group bound)."""
-    return semdedup(*args, **kwargs).drop("lsub", "blk")
+    """Gate/back-compat alias for :func:`semdedup`'s public projection
+    (semdedup itself now returns the stable schema by default)."""
+    kwargs.pop("debug_buckets", None)
+    return semdedup(*args, **kwargs)
 
 
 # ---------------------------------------------------------------------------

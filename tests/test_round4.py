@@ -334,7 +334,7 @@ def test_semdedup_giant_cell_compare_groups_bounded(spark):
     vecs = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
     )
-    out = semdedup(vecs, n_centroids=1, max_cell_size=cap)
+    out = semdedup(vecs, n_centroids=1, max_cell_size=cap, debug_buckets=True)
     groups = (
         out.groupBy("cell", "lsub", "blk").count().agg(F.max("count"))
     ).collect()[0][0]
