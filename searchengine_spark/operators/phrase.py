@@ -477,6 +477,11 @@ def search_with_snippets(
     hits = spark.createDataFrame(
         hit_rows, "docid long, pid string, score double"
     )
+    # Docstore layout contract: the In(pid) filter pushes down to the
+    # parquet scan, but min/max pruning only bites when the docstore is
+    # pid-sorted — write it with sinks.write_docstore (pid-range files,
+    # sorted within; Iceberg: WRITE ORDERED BY pid) so this k-row read
+    # prunes to O(k) files/row groups instead of a corpus-wide scan.
     doc_tokens = (
         docs.filter(F.col("pid").isin(pids))
         .select("pid", tokens_col(F.col("content"), stem_stop).alias("tokens"))

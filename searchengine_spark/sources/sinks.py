@@ -20,6 +20,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def write_docstore(
+    docs: DataFrame, path: str, num_partitions: int | None = None
+) -> None:
+    """Results-page docstore with the POINT-LOOKUP layout contract:
+    pid-range-partitioned and sorted within partitions, so every
+    parquet file (and row group) covers a tight, non-overlapping pid
+    range. A k-row render (``search_with_snippets``'s
+    ``pid.isin(k pids)`` read) then prunes to O(k) files/row groups by
+    parquet min/max statistics at ANY corpus size; on an unclustered
+    100 TB docstore the same pushed In() filter prunes nothing and the
+    k-row page pays a corpus-wide scan. Iceberg twin of this layout:
+    ``WRITE ORDERED BY pid`` (the same contract, catalog-managed).
+    Layout + pushdown are pinned in tests/test_round5.py."""
+    from ..operators.indexer import _n_eff
+
+    spark = docs.sparkSession
+    (
+        docs.repartitionByRange(_n_eff(spark, num_partitions), "pid")
+        .sortWithinPartitions("pid")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def trec_lines(results: DataFrame, qid_col: str = "qid", run_id: str = "searchengine_spark") -> DataFrame:
     """(qid, docid, pid, score) -> single-column TREC lines, ranked
     per qid by (score DESC, docid ASC)."""

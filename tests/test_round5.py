@@ -13,6 +13,62 @@ def _write_docs_file(df, path):
     pq.write_table(pa.Table.from_pandas(df.toPandas()), str(path))
 
 
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_docstore_point_lookup_contract(spark, tmp_path):
+    """write_docstore's layout contract: (1) every parquet file covers
+    a tight, NON-OVERLAPPING pid range (the property that makes min/max
+    pruning effective for a k-row In(pid) render at any corpus size),
+    (2) the render's In filter is pushed to the scan, and (3) a k-pid
+    read touches only the row groups whose range contains those pids."""
+    import pyarrow.parquet as pq_mod
+
+    import __spark_entry__ as e
+    from searchengine_spark.sources.sinks import write_docstore
+
+    docs = e._docs(spark, "/root/testdata/sf0.001")
+    store = str(tmp_path / "docstore")
+    write_docstore(docs, store, num_partitions=8)
+
+    # (1) sorted, disjoint per-file pid ranges
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{store}/*.parquet"):
+        md = pq_mod.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "pid"
+            )
+            ranges.append((col.statistics.min, col.statistics.max))
+    ranges.sort()
+    assert ranges, "docstore wrote no row groups"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping pid ranges: {hi1} > {lo2}"
+
+    # (2) pushed In(pid) on the k-row render read
+    pids = [r["pid"] for r in docs.orderBy("pid").limit(3).collect()]
+    scan = spark.read.parquet(store).filter(F.col("pid").isin(pids))
+    plan = _formatted_plan(scan)
+    assert "PushedFilters" in plan and "In(pid" in plan, plan
+
+    # (3) with disjoint sorted ranges, only the row groups containing
+    # the k pids can match the pushed filter's min/max check
+    matching = [
+        (lo, hi) for lo, hi in ranges if any(lo <= p <= hi for p in pids)
+    ]
+    assert len(matching) <= 3
+    assert scan.count() == 3
+
+
 def _topk_by_pid(idx, q, **kw):
     from searchengine_spark.operators.maxscore import maxscore_topk
 
