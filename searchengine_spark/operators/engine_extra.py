@@ -712,17 +712,28 @@ def _fielded_index_frames(spark: SparkSession, sf_dir: str):
     return build_index_frames(docs_from_code_table(code), stem_stop=False)
 
 
+_BM25F_WC = 1.0   # content field weight
+_BM25F_WP = 2.0   # filename-path field weight
+_BM25F_BC = 0.75  # per-field length-normalization b
+_BM25F_BP = 0.75
+_BM25F_K1 = 1.5
+
+
 def _q_code_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Code search over the north-rule table where the FILENAME carries
-    signal: paths embed each doc's first token, so a query term in the
-    path adds boost_weight * idf on top of the content BM25 — ranks
-    shift for path-hit docs, oracle-exact through the re-derived pid."""
-    from .query import fielded_top_k
+    """Code search over the north-rule table through the FULL Robertson
+    BM25F model (query.bm25f_top_k) on two fields — content tokens and
+    filename-path tokens (paths embed each doc's first token, so the
+    path field carries real signal): per-field tf normalized by
+    per-field length against per-field avg length, field weights, one
+    shared saturation. Oracle-exact through the re-derived pid."""
+    from .query import bm25f_top_k
 
     idx = _fielded_index_frames(spark, sf_dir)
-    return fielded_top_k(
-        idx, " ".join(_FIELDED_TERMS), k=10, boost_weight=_FIELDED_W,
-        scoring="bm25", round_decimals=9,
+    return bm25f_top_k(
+        idx, " ".join(_FIELDED_TERMS), k=10,
+        w_content=_BM25F_WC, w_path=_BM25F_WP,
+        b_content=_BM25F_BC, b_path=_BM25F_BP, k1=_BM25F_K1,
+        round_decimals=9,
     )
 
 
@@ -738,18 +749,22 @@ d0 AS (
          text AS content
   FROM documents
 )"""
-    score = entry._score_sql("bm25")
     vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(_FIELDED_TERMS))
-    # left-associative chain in QUERY-TERM order, matching the engine's
-    # literal boost chain (float addition order is part of the contract)
-    boost = " + ".join(
-        # coalesce mirrors the engine's missing-term-contributes-zero rule:
-        # a term absent from the lexicon must not NULL-poison the chain
-        f"(CASE WHEN list_contains(string_split_regex(ds.pid, '[/@.]'),"
-        f" '{t}') THEN coalesce((SELECT log10((SELECT nd FROM n) /"
-        f" CAST(df AS DOUBLE)) FROM lex WHERE term = '{t}'), 0.0)"
-        f" ELSE 0.0 END)"
-        for t in _FIELDED_TERMS
+    # the FULL Robertson BM25F twin — expression shapes and operation
+    # order mirror query.bm25f_top_k exactly (per-field CASE-guarded
+    # normalized tf, weighted field sum, shared saturation, ordered
+    # per-term fold); literals are Python-formatted from the SAME
+    # constants the engine injects, so both sides round-trip the
+    # identical IEEE-754 doubles
+    tfn_c = (
+        f"(CASE WHEN ctf IS NULL THEN 0.0 ELSE CAST(ctf AS DOUBLE) / "
+        f"({1.0 - _BM25F_BC!r} + {_BM25F_BC!r} * CAST(doc_len AS DOUBLE) / "
+        f"(SELECT avgdl FROM n)) END)"
+    )
+    tfn_p = (
+        f"(CASE WHEN ptf IS NULL THEN 0.0 ELSE CAST(ptf AS DOUBLE) / "
+        f"({1.0 - _BM25F_BP!r} + {_BM25F_BP!r} * CAST(flen AS DOUBLE) / "
+        f"(SELECT avgfl FROM navg)) END)"
     )
     register(
         "code_search_fielded",
@@ -757,21 +772,54 @@ d0 AS (
         f"""
 WITH {entry.base_ctes(fielded_d0)},
 qx(term, tidx) AS (VALUES {vals}),
+fpl AS (
+  SELECT docid,
+         list_filter(string_split_regex(pid, '[/@.]'), x -> x <> '') AS ptoks
+  FROM ds
+),
+fpe AS (
+  SELECT docid, unnest(ptoks) AS term, len(ptoks) AS flen FROM fpl
+),
+fp AS (
+  SELECT term, docid, CAST(count(*) AS INT) AS ptf,
+         CAST(any_value(flen) AS BIGINT) AS flen
+  FROM fpe GROUP BY term, docid
+),
+navg AS (
+  SELECT CAST(sum(len(ptoks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgfl
+  FROM fpl
+),
+cq AS (
+  SELECT p.term, p.docid, p.tf AS ctf, p.doc_len
+  FROM p JOIN qx USING (term) JOIN lex l ON l.term = p.term
+),
+pq AS (
+  SELECT fp.term, fp.docid, fp.ptf, fp.flen
+  FROM fp JOIN qx USING (term) JOIN lex l ON l.term = fp.term
+),
+uj AS (
+  SELECT term, docid, ctf, doc_len, ptf, flen
+  FROM cq FULL JOIN pq USING (term, docid)
+),
+tj AS (
+  SELECT term, docid,
+         ({_BM25F_WC!r} * {tfn_c} + {_BM25F_WP!r} * {tfn_p}) AS tft
+  FROM uj
+),
 scored AS (
-  SELECT p.docid, qx.tidx, {score} AS partial
-  FROM p JOIN qx ON p.term = qx.term JOIN lex l ON l.term = qx.term
+  SELECT tj.docid, qx.tidx,
+         log10((SELECT nd FROM n) / CAST(l.df AS DOUBLE)) * tft
+           / ({_BM25F_K1!r} + tft) AS partial
+  FROM tj JOIN qx USING (term) JOIN lex l ON l.term = tj.term
 ),
 agg AS (
-  SELECT docid, CAST(list_sum(list(partial ORDER BY tidx)) AS DOUBLE)
+  SELECT docid,
+         round(CAST(list_sum(list(partial ORDER BY tidx)) AS DOUBLE), 9)
            AS score
   FROM scored GROUP BY docid
-),
-boosted AS (
-  SELECT a.docid, ds.pid,
-         round(a.score + {_FIELDED_W} * ({boost}), 9) AS score
-  FROM agg a JOIN ds USING (docid)
 )
-SELECT docid, pid, score FROM boosted
+SELECT a.docid, ds.pid, a.score AS score
+FROM agg a JOIN ds USING (docid)
 ORDER BY score DESC, docid ASC
 LIMIT 10
 """,
@@ -781,12 +829,18 @@ LIMIT 10
         "field_postings",
         _q_field_postings,
         f"""
-WITH {entry.base_ctes(fielded_d0)}
-SELECT DISTINCT u.t AS term, ds.docid
-FROM ds, LATERAL (
-  SELECT unnest(string_split_regex(ds.pid, '[/@.]')) AS t
-) u
-WHERE u.t <> ''
+WITH {entry.base_ctes(fielded_d0)},
+fpl AS (
+  SELECT docid,
+         list_filter(string_split_regex(pid, '[/@.]'), x -> x <> '') AS ptoks
+  FROM ds
+),
+fpe AS (
+  SELECT docid, unnest(ptoks) AS term, len(ptoks) AS flen FROM fpl
+)
+SELECT term, docid, CAST(count(*) AS INT) AS tf,
+       CAST(any_value(flen) AS BIGINT) AS field_len
+FROM fpe GROUP BY term, docid
 """,
     )
 

@@ -209,24 +209,30 @@ def docs_from_code_table(df: DataFrame) -> DataFrame:
 
 
 def field_postings_frame(doc_stats: DataFrame) -> DataFrame:
-    """(term, docid) filename-field postings derived from pid path
-    tokens (pid split on ``[/@.]``, empties dropped, presence-only one
-    row per distinct pair) — the BM25F field layout (Robertson,
-    Zaragoza & Taylor, CIKM 2004) specialized to the code table's
-    filename field. A narrow projection of doc_stats: the build
-    persists it range-partitioned by (term, docid) so fielded search
-    reads boost rows with term pushdown instead of joining the
-    match-set against doc_stats."""
-    return doc_stats.select(
+    """(term, docid, tf, field_len) filename-field postings derived
+    from pid path tokens (pid split on ``[/@.]``, empties dropped) —
+    the BM25F field layout (Robertson, Zaragoza & Taylor, CIKM 2004)
+    specialized to the code table's filename field, now carrying the
+    per-field term frequency and field length the FULL Robertson model
+    needs (``query.bm25f_top_k``: per-field tf normalization with
+    per-field b and avg length, field weights, shared saturation).
+    One row per distinct (term, docid) like the old presence-only
+    layout, so the boost-intuition ``fielded_top_k`` reads it
+    unchanged. A narrow projection of doc_stats (per-row run-length
+    tfs, no shuffle): the build persists it range-partitioned by
+    (term, docid) so fielded search reads its rows with term pushdown
+    instead of joining the match-set against doc_stats."""
+    from .frames import exploded_term_tf
+
+    toks = doc_stats.select(
         "docid",
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.col("pid"), r"[/@.]"), lambda x: x != ""
-                )
-            )
-        ).alias("term"),
-    ).select("term", "docid")
+        F.filter(F.split(F.col("pid"), r"[/@.]"), lambda x: x != "").alias(
+            "tokens"
+        ),
+    ).withColumn("field_len", F.size("tokens").cast("long"))
+    return exploded_term_tf(toks, ["docid", "field_len"]).select(
+        "term", "docid", F.col("tf").cast("int").alias("tf"), "field_len"
+    )
 
 
 def assign_dense_ids(
@@ -1285,6 +1291,17 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(str(fp_dir))
             )
+            # per-field avg length for the full BM25F normalizer
+            # (query.bm25f_top_k) — stored like avg_doc_len so serving
+            # never recomputes it
+            fl = ds.select(
+                F.size(
+                    F.filter(
+                        F.split(F.col("pid"), r"[/@.]"), lambda x: x != ""
+                    )
+                ).alias("fl")
+            ).agg(F.sum("fl").alias("s"), F.count("*").alias("c")).collect()[0]
+            manifest["stats"]["avg_field_len"] = float(fl["s"]) / float(fl["c"])
             record("field_postings", t0)
         if cfg.fields:
             manifest["flags"]["fields"] = True

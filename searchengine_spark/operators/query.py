@@ -452,3 +452,148 @@ def fielded_top_k(
         .coalesce(1)
         .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
     )
+
+
+def _avg_field_len(index: InvertedIndex) -> float:
+    """Average filename-field length (non-empty pid path tokens per
+    doc) — the per-field avg-length input of the Robertson BM25F
+    normalizer. Prefers the stat the build recorded in the manifest
+    (stage 7); else computes it once from doc_stats and memoizes on
+    the index object (serving warms it exactly once)."""
+    stats = index.stats if isinstance(index.stats, dict) else {}
+    if stats.get("avg_field_len"):
+        return float(stats["avg_field_len"])
+    cached = getattr(index, "_avg_field_len_memo", None)
+    if cached is not None:
+        return cached
+    row = index.doc_stats.select(
+        F.size(
+            F.filter(F.split(F.col("pid"), r"[/@.]"), lambda x: x != "")
+        ).alias("fl")
+    ).agg(F.sum("fl").alias("s"), F.count("*").alias("c")).collect()[0]
+    out = float(row["s"]) / float(row["c"])
+    try:
+        index._avg_field_len_memo = out
+    except AttributeError:
+        pass
+    return out
+
+
+def bm25f_top_k(
+    index: InvertedIndex,
+    text: str,
+    k: int = 10,
+    w_content: float = 1.0,
+    w_path: float = 2.0,
+    b_content: float = B,
+    b_path: float = B,
+    k1: float = K1,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """TRUE multi-field BM25F (Robertson, Zaragoza & Taylor, CIKM 2004;
+    the "simple BM25F" with per-field length normalization and a single
+    shared saturation) over two fields of the code table — content
+    tokens and filename-path tokens:
+
+        tfn_f  = tf_f / ((1 - b_f) + b_f * len_f / avglen_f)
+        tft    = w_content * tfn_content + w_path * tfn_path
+        score  = sum over query terms (query order) of
+                 idf(t) * tft / (k1 + tft)
+
+    This is the full model ``fielded_top_k``'s presence boost
+    approximates: that operator stays as the cheap degenerate form (a
+    path HIT contributes a constant idf), while this one normalizes
+    per-field tf against per-field length with field weights — a term
+    that IS the filename outweighs one buried in a long path, and a
+    path-only match enters the candidate set (the boost form cannot
+    admit it).
+
+    Plan shape: two per-term In-pushdown scans (postings/ and
+    field_postings/ — both (term, docid) range-sorted), a full outer
+    merge on (term, docid) sized by the query terms' lists, ordered
+    fold per doc, top-k, then the k-row broadcast pid join. idf and
+    term order are literal maps; avgdl/avg_field_len are scalars (the
+    field one memoized/manifest-sourced) — no lexicon or doc_stats
+    join before the limit. Disjunctive only, like ``fielded_top_k``.
+    Oracle-exact vs DuckDB through the extended ``code_search_fielded``
+    gate."""
+    terms = query_terms(text, index.manifest["flags"]["stem_stop"])
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, pid string, score double")
+    if not terms:
+        return empty
+    idf_by_term = _resolve_idf(index, terms)
+    present = [t for t in terms if t in idf_by_term]
+    if not present:
+        return empty
+    stats = index.stats
+    avgdl = stats["total_doc_len"] / stats["n_docs"]
+    avgfl = _avg_field_len(index)
+    idf_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, float(idf_by_term[t]))]
+    )
+    pos_map = F.create_map(
+        *[F.lit(x) for i, t in enumerate(present) for x in (t, i)]
+    )
+    content = index.postings.filter(F.col("term").isin(present)).select(
+        "term", "docid", F.col("tf").alias("ctf"), "doc_len"
+    )
+    if index.manifest.get("flags", {}).get("fields", False):
+        fp = index.field_postings
+    else:
+        from .indexer import field_postings_frame
+
+        fp = field_postings_frame(index.doc_stats)
+    if "tf" not in fp.columns:  # pre-round-5 presence-only layout
+        from .indexer import field_postings_frame
+
+        fp = field_postings_frame(index.doc_stats)
+    path = fp.filter(F.col("term").isin(present)).select(
+        "term", "docid", F.col("tf").alias("ptf"), "field_len"
+    )
+    both = content.join(path, ["term", "docid"], "full")
+    tfn_c = F.when(F.col("ctf").isNull(), F.lit(0.0)).otherwise(
+        F.col("ctf").cast("double")
+        / (
+            F.lit(1.0 - b_content)
+            + F.lit(b_content)
+            * F.col("doc_len").cast("double")
+            / F.lit(avgdl)
+        )
+    )
+    tfn_p = F.when(F.col("ptf").isNull(), F.lit(0.0)).otherwise(
+        F.col("ptf").cast("double")
+        / (
+            F.lit(1.0 - b_path)
+            + F.lit(b_path)
+            * F.col("field_len").cast("double")
+            / F.lit(avgfl)
+        )
+    )
+    tft = F.lit(w_content) * tfn_c + F.lit(w_path) * tfn_p
+    scored = both.select(
+        "docid",
+        pos_map[F.col("term")].alias("term_idx"),
+        (idf_map[F.col("term")] * tft / (F.lit(k1) + tft)).alias("partial"),
+    )
+    agg = scored.groupBy("docid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term_idx", "partial"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["partial"],
+        ).alias("score")
+    )
+    if round_decimals is not None:
+        agg = agg.withColumn("score", F.round(F.col("score"), round_decimals))
+    topk = (
+        agg.select("docid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+    return (
+        F.broadcast(topk)
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .select("docid", "pid", "score")
+        .coalesce(1)
+        .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
+    )

@@ -216,6 +216,94 @@ def test_optimize_idempotent(spark, optimized_vs_batch):
     )
 
 
+def test_bm25f_full_model(spark, tmp_path):
+    """True multi-field BM25F: (1) the disk path (stage-7 field
+    postings with tf/field_len + manifest avg_field_len) equals the
+    in-memory frames path (on-the-fly field postings) row-for-row,
+    (2) a path-only match enters the candidate set (the old presence
+    boost could never admit it), and (3) a term that IS the filename
+    outranks the same term buried in a long path."""
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        build_index,
+        docs_from_code_table,
+    )
+    from searchengine_spark.operators.frames import build_index_frames
+    from searchengine_spark.operators.query import bm25f_top_k
+
+    code = spark.createDataFrame(
+        [
+            ("r1", "alpha.py", "c1", "py", "data join merge"),
+            ("r1", "deep/nested/path/alpha/util.py", "c2", "py", "data merge"),
+            ("r2", "beta.py", "c3", "py", "alpha alpha data"),
+            ("r2", "gamma.py", "c4", "py", "data stream"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    docs = docs_from_code_table(code)
+    disk = build_index(
+        docs,
+        str(tmp_path / "fidx"),
+        IndexConfig(stem_stop=False, compression=False, fields=True),
+    )
+    assert disk.manifest["stats"]["avg_field_len"] > 0
+    frames = build_index_frames(docs, stem_stop=False)
+
+    got_disk = [
+        (r["pid"], r["score"])
+        for r in bm25f_top_k(disk, "alpha", k=10, round_decimals=9).collect()
+    ]
+    got_frames = [
+        (r["pid"], r["score"])
+        for r in bm25f_top_k(frames, "alpha", k=10, round_decimals=9).collect()
+    ]
+    assert got_disk == got_frames
+    pids = [p for p, _ in got_disk]
+    # path-only matches admitted: r1/alpha.py and the nested alpha dir
+    # contain 'alpha' only in the path, yet both rank
+    assert any(p.startswith("r1/alpha.py@") for p in pids)
+    assert any(p.startswith("r1/deep/") for p in pids)
+    # filename hit (field_len 3: r1 alpha py) outranks the same term in
+    # a long path (field_len 7) — per-field length normalization at work
+    short = next(i for i, p in enumerate(pids) if p.startswith("r1/alpha.py@"))
+    long_ = next(i for i, p in enumerate(pids) if p.startswith("r1/deep/"))
+    assert short < long_
+
+
+def test_ivf_pq_recall_monotone_in_rerank(spark):
+    """IVF-PQ with exact re-rank: recall@1 against the exact
+    within-cell search is monotone non-decreasing in the re-rank depth
+    and reaches 1.0 once the shortlist covers the cell (the PQ scan
+    can then never lose the exact winner — it only orders the
+    shortlist)."""
+    from searchengine_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        ann_ivf_top1,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        r["query_id"]: r["neighbor_id"] for r in ann_ivf_top1(emb).collect()
+    }
+    assert exact
+
+    def recall(rerank: int) -> float:
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in ann_ivf_pq_topk(emb, k=1, rerank=rerank).collect()
+        }
+        return sum(got.get(q) == n for q, n in exact.items()) / len(exact)
+
+    r1, r4, r16, rall = recall(1), recall(4), recall(16), recall(10**6)
+    assert r1 <= r4 <= r16 <= rall
+    assert rall == 1.0
+    # sanity floor: i.i.d. gaussian embeddings are the WORST case for
+    # PQ (no cluster structure, near-uniform cosines), yet rerank=1
+    # recall must still beat the ~1/|cell| ~= 0.03 random baseline by
+    # a wide margin (measured 0.228 on this fixture)
+    assert r1 > 0.1
+
+
 def test_incremental_to_dir_optimized(spark, tmp_path):
     """O(delta) segment store -> compact_incremental_to_dir(optimize=True):
     block-max MaxScore and packed phrase serving on STABLE docids, equal
