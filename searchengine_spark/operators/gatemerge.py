@@ -136,6 +136,7 @@ MERGES: list[Union | Join] = [
     Union("ann_ivf", [
         Part("ann_ivf_top1", "1"),          # pads rank with NULL
         Part("ann_ivf_probe2", "2"),        # pads cell with NULL
+        Part("ann_ivf_pq", "1+pq"),         # PQ codes + exact re-rank
     ], mode_col="n_probe"),
     Union("embedding_neardup_paths", [
         Part("embedding_neardup", "exact"),  # pads bucket with NULL

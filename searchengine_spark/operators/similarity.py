@@ -357,6 +357,209 @@ def ann_ivf_topk(
     )
 
 
+def _sub_slices(emb: Column, m: int) -> Column:
+    """Array of the ``m`` contiguous subvectors of ``emb`` (PQ subspace
+    decomposition; dims must divide evenly — the standard PQ layout)."""
+    sd = (F.size(emb) / F.lit(m)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(emb, j * sd + 1, sd),
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    quantization for nearest neighbor search", TPAMI 2011): the D-dim
+    space splits into ``m`` subspaces; each carries ``ks`` codes.
+    Deterministic seeding — subspace j's code c is the j-th subvector
+    of the vector with id c (the PQ analog of the IVF "ids" centroid
+    seeding, so the whole pipeline is SQL-oracle-exact; per-subspace
+    seeded k-means is the production swap, same join shape). Returns
+    the tiny broadcastable (sub_id, code, cvec) table: m*ks rows."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("code"),
+        as_double(F.col(vec_col)).alias("emb"),
+    ).filter(F.col("code") < ks)
+    return v.select(
+        "code", F.posexplode(_sub_slices(F.col("emb"), m))
+    ).select(
+        F.col("pos").cast("int").alias("sub_id"),
+        "code",
+        F.col("col").alias("cvec"),
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per (vector, subspace), the L2-nearest code (ties
+    to the lower code id) — D doubles become m small ints. Returns
+    (vec_id, sub_id, code, cvec) keeping the code's subvector so the
+    ADC scan reconstructs without a second codebook join. The N*m-row
+    scan broadcasts the codebook table; squared distance uses the
+    inner-product identity |x|^2 - 2<x,c> + |c|^2 (one expression
+    shape on both engines), rounded to {ROUND} decimals so the argmin
+    cannot flip on float summation order."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+    )
+    subs = v.select(
+        "vec_id", F.posexplode(_sub_slices(F.col("emb"), m))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("sub_id"),
+        F.col("col").alias("svec"),
+    )
+    joined = subs.join(F.broadcast(codebooks), "sub_id").withColumn(
+        "d2",
+        F.round(
+            dot(F.col("svec"), F.col("svec"))
+            - F.lit(2.0) * dot(F.col("svec"), F.col("cvec"))
+            + dot(F.col("cvec"), F.col("cvec")),
+            ROUND,
+        ),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code", "cvec")
+    )
+
+
+def ann_ivf_pq_topk(
+    vectors: DataFrame,
+    k: int = 1,
+    n_centroids: int = 16,
+    n_probe: int = 1,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 4,
+    centroids="ids",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN with exact re-ranking — the 100 TB embedding-search
+    shape (Jégou et al., TPAMI 2011): the within-cell scan reads PQ
+    CODES (m ints + the codebook, ~32x smaller than raw doubles — at
+    10^11 vectors the probe reads dominate and raw-double cells are
+    I/O-bound), scores candidates by asymmetric distance (raw query
+    subvectors against reconstructed code subvectors, folded in
+    subspace order), keeps the top ``rerank`` per query, and re-scores
+    ONLY those with exact cosine on the raw vectors. recall@1 vs the
+    exact within-cell search is monotone non-decreasing in ``rerank``
+    and reaches 1.0 once rerank covers the cell (pinned in
+    tests/test_round5.py).
+
+    Returns (query_id, neighbor_id, approx_cosine, cosine, rank<=k) —
+    ranked by the EXACT re-scored cosine."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("emb"),
+    )
+    cells = ivf_cells(
+        vectors, n_centroids, id_col, vec_col,
+        centroids=centroids, n_probe=n_probe,
+    )
+    home = cells.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    probe = cells.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        dot(F.col("emb"), F.col("emb")).alias("qdot"),
+        "cell",
+    )
+    codes = pq_encode(vectors, pq_codebooks(vectors, m, ks, id_col, vec_col),
+                      m, id_col, vec_col)
+    cand = probe.join(
+        home.select(F.col("vec_id").alias("neighbor_id"), "cell"), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    sd = (F.size(F.col("qemb")) / F.lit(m)).cast("int")
+    per_sub = cand.join(
+        codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "sub_id",
+        "qdot",
+        dot(
+            F.slice(F.col("qemb"), F.col("sub_id") * sd + 1, sd),
+            F.col("cvec"),
+        ).alias("qc"),
+        dot(F.col("cvec"), F.col("cvec")).alias("cc"),
+    )
+    adc = per_sub.groupBy("query_id", "neighbor_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("sub_id", F.col("qc")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["qc"],
+        ).alias("adp"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("sub_id", F.col("cc")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["cc"],
+        ).alias("rdot"),
+        F.min("qdot").alias("qdot"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.try_divide(
+                F.col("adp"), F.sqrt(F.col("qdot")) * F.sqrt(F.col("rdot"))
+            ),
+            ROUND,
+        ).alias("approx_cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") <= rerank)
+        .select("query_id", "neighbor_id", "approx_cosine")
+    )
+    exact = (
+        shortlist.join(
+            v.select(F.col("vec_id").alias("query_id"),
+                     F.col("emb").alias("qemb")),
+            "query_id",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("emb").alias("nemb")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cosine",
+            F.round(cosine(F.col("qemb"), F.col("nemb")), ROUND).alias(
+                "cosine"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_cosine", "cosine", "rank")
+    )
+
+
 def cosine_neardup_lsh(
     vectors: DataFrame,
     threshold: float = NEARDUP_COSINE,
@@ -649,6 +852,98 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 1
+""",
+)
+
+register(
+    "ann_ivf_pq",
+    lambda spark, sf_dir: ann_ivf_pq_topk(
+        _emb(spark, sf_dir), k=1, n_probe=1, m=8, ks=16, rerank=4
+    ),
+    f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < 16),
+ass AS (
+  SELECT v.vec_id, v.emb, c.cent_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_cosine_similarity(v.emb, c.cemb), {ROUND})
+             DESC, c.cent_id ASC) AS rn
+  FROM v CROSS JOIN c
+),
+home AS (SELECT vec_id, emb, cent_id AS cell FROM ass WHERE rn = 1),
+js AS (SELECT unnest(range(0, 8)) AS sub_id),
+cb AS (
+  SELECT js.sub_id, v.vec_id AS code,
+         v.emb[(js.sub_id * (len(v.emb) // 8) + 1)
+               :((js.sub_id + 1) * (len(v.emb) // 8))] AS cvec
+  FROM v CROSS JOIN js WHERE v.vec_id < 16
+),
+subs AS (
+  SELECT v.vec_id, js.sub_id,
+         v.emb[(js.sub_id * (len(v.emb) // 8) + 1)
+               :((js.sub_id + 1) * (len(v.emb) // 8))] AS svec
+  FROM v CROSS JOIN js
+),
+encd AS (
+  SELECT s.vec_id, s.sub_id, cb.code, cb.cvec,
+         round(list_inner_product(s.svec, s.svec)
+               - 2.0 * list_inner_product(s.svec, cb.cvec)
+               + list_inner_product(cb.cvec, cb.cvec), {ROUND}) AS d2
+  FROM subs s JOIN cb USING (sub_id)
+),
+encr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, sub_id ORDER BY d2 ASC, code ASC) AS rn
+  FROM encd
+),
+codes AS (SELECT vec_id, sub_id, code, cvec FROM encr WHERE rn = 1),
+cand AS (
+  SELECT a.vec_id AS query_id, a.emb AS qemb,
+         list_inner_product(a.emb, a.emb) AS qdot,
+         b.vec_id AS neighbor_id
+  FROM home a JOIN home b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+per_sub AS (
+  SELECT cand.query_id, cand.neighbor_id, cd.sub_id, cand.qdot,
+         list_inner_product(
+           cand.qemb[(cd.sub_id * (len(cand.qemb) // 8) + 1)
+                     :((cd.sub_id + 1) * (len(cand.qemb) // 8))],
+           cd.cvec) AS qc,
+         list_inner_product(cd.cvec, cd.cvec) AS cc
+  FROM cand JOIN codes cd ON cd.vec_id = cand.neighbor_id
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         round(CAST(list_sum(list(qc ORDER BY sub_id)) AS DOUBLE)
+               / (sqrt(min(qdot))
+                  * sqrt(CAST(list_sum(list(cc ORDER BY sub_id)) AS DOUBLE))),
+               {ROUND}) AS approx_cosine
+  FROM per_sub GROUP BY query_id, neighbor_id
+),
+shortlist AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id ASC) AS rr
+  FROM adc
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.approx_cosine,
+         round(list_cosine_similarity(q.emb, n.emb), {ROUND}) AS cosine
+  FROM shortlist s JOIN v q ON q.vec_id = s.query_id
+                   JOIN v n ON n.vec_id = s.neighbor_id
+  WHERE s.rr <= 4
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, approx_cosine, cosine, rank
+FROM ranked WHERE rank <= 1
 """,
 )
 
