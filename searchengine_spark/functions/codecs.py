@@ -26,16 +26,26 @@ from __future__ import annotations
 
 import numpy as np
 
+# 128**1 .. 128**8 — the byte-width breakpoints that fit in int64
+# (128**9 == 2**63 overflows; any non-negative int64 is < it).
+_VB_THRESHOLDS = np.array([128**k for k in range(1, 9)], dtype=np.int64)
+
 
 def _vb_widths(vals: np.ndarray) -> np.ndarray:
     """Per-value VB byte width (number of 7-bit digits; 0 -> 1, the
     0x00 quirk byte). Shared by ``vb_encode`` and ``vb_encode_rows`` so
     the row splitter's framing is bit-identical to the encoder's layout
     by construction, not by a duplicated float-log expression."""
+    # Exact integer digit count — NOT a float log. A double log128 is
+    # wrong twice at the extremes: it rounds UP to k at the ulp-band
+    # just below 128**k (128**8 - 1 would get 9 bytes, true width 8),
+    # and the power-of-128 bump guard overflows int64 at 128**9 == 2**63
+    # (every value >= 128**8 would get a phantom 10th byte). width(v) is
+    # the k with 128**(k-1) <= v < 128**k; int64 values need at most 9.
     safe = np.maximum(vals, 1)
-    nbytes = np.floor(np.log(safe) / np.log(128)).astype(np.int64) + 1
-    # guard float-log edge cases at powers of 128
-    return np.where(vals >= 128**nbytes, nbytes + 1, nbytes)
+    return (
+        np.searchsorted(_VB_THRESHOLDS, safe, side="right") + 1
+    ).astype(np.int64)
 
 
 def vb_encode(values: np.ndarray | list[int]) -> bytes:

@@ -779,7 +779,7 @@ def _default_cc_edge_budget(spark) -> int:
     from .maxscore import driver_memory_bytes
 
     return max(
-        100_000,
+        CC_LOCAL_EDGE_LIMIT,
         int(driver_memory_bytes(spark) // _CC_MEM_FRACTION // _CC_BYTES_PER_EDGE),
     )
 

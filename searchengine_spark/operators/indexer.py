@@ -1331,6 +1331,21 @@ def _swap_dir(tmp: Path, dst: Path) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _recover_swap(dst: Path) -> None:
+    """Heal a crash INSIDE ``_swap_dir``: a process killed between
+    ``dst.rename(old)`` and ``tmp.rename(dst)`` leaves ``dst`` missing
+    and ``dst__old`` holding the intact pre-swap data. Rename it back
+    so the (idempotent) stage re-runs from the old artifact; the
+    leftover ``__opt`` tmp dir is simply overwritten by that re-run."""
+    old = dst.with_name(dst.name + "__old")
+    if not dst.exists() and old.exists():
+        old.rename(dst)
+    # a leftover tmp dir from an interrupted run is garbage whether the
+    # stage re-runs (mode=overwrite replaces it) or skips (it would
+    # otherwise linger forever) — clear it while nothing is mid-write
+    shutil.rmtree(dst.with_name(dst.name + "__opt"), ignore_errors=True)
+
+
 def optimize_index(
     spark: SparkSession,
     index_dir: str,
@@ -1379,12 +1394,19 @@ def optimize_index(
 
     try:
         postings_dir = root / "postings"
+        lexicon_dir = root / "lexicon"
+        blk_side_dir = root / "term_blk__opt"
+        _recover_swap(postings_dir)
+        _recover_swap(lexicon_dir)
         if "block_id" not in spark.read.parquet(str(postings_dir)).columns:
             t0 = time.time()
             staged = _read_stage(spark, postings_dir, min_splits)
             # √df block law + single range shuffle serving both the rank
             # stamp and the final layout — same plan as build stage 3
-            df_per_term = staged.groupBy("term").agg(F.count("*").alias("df"))
+            df_per_term = (
+                staged.groupBy("term").agg(F.count("*").alias("df")).persist()
+            )
+            _PERSIST_HANDLES.append(df_per_term)
             blk = df_per_term.select(
                 "term",
                 "df",
@@ -1410,44 +1432,59 @@ def optimize_index(
             ).select("term", "docid", "tf", "doc_len", "block_id")
             tmp = root / "postings__opt"
             merged.write.mode("overwrite").parquet(str(tmp))
+            # Stash the per-term block meta (|vocab| rows) BEFORE the
+            # swap, while the pre-swap postings files still exist: the
+            # lexicon stage joins this side parquet instead of paying a
+            # second full postings scan + aggregate, and unlike a lazy
+            # frame it stays valid after the swap deletes the old files.
+            # df_per_term is already cached hot from the merged write.
+            blk.write.mode("overwrite").parquet(str(blk_side_dir))
             _release_persisted()  # ranked's range layout is on disk now
             _swap_dir(tmp, postings_dir)
             record("optimize_postings_blocks", t0)
 
-        lexicon_dir = root / "lexicon"
         if "num_blocks" not in spark.read.parquet(str(lexicon_dir)).columns:
             t0 = time.time()
-            # recompute the block meta from the (possibly just-swapped)
-            # postings dir — df per term is unchanged by the rewrite, and
-            # a frame captured before the swap would re-list deleted files
-            blk_meta = (
-                spark.read.parquet(str(postings_dir))
-                .groupBy("term")
-                .agg(F.count("*").alias("df"))
-                .select(
-                    "term",
-                    F.when(
-                        F.col("df") >= BLOCK_DF_THRESHOLD,
-                        F.ceil(F.sqrt(F.col("df"))),
+            if blk_side_dir.exists():
+                # the postings stage stashed the per-term block meta to
+                # a side parquet pre-swap — join the |vocab|-row file
+                # instead of re-scanning + re-aggregating all postings
+                blk_meta = spark.read.parquet(str(blk_side_dir)).select(
+                    "term", "num_blocks", "max_per_block"
+                )
+            else:
+                # resume path (postings stage done in an earlier run):
+                # recompute from the swapped postings dir — df per term
+                # is unchanged by the rewrite
+                blk_meta = (
+                    spark.read.parquet(str(postings_dir))
+                    .groupBy("term")
+                    .agg(F.count("*").alias("df"))
+                    .select(
+                        "term",
+                        F.when(
+                            F.col("df") >= BLOCK_DF_THRESHOLD,
+                            F.ceil(F.sqrt(F.col("df"))),
+                        )
+                        .otherwise(F.lit(1))
+                        .cast("long")
+                        .alias("num_blocks"),
+                        "df",
                     )
-                    .otherwise(F.lit(1))
-                    .cast("long")
-                    .alias("num_blocks"),
-                    "df",
+                    .select(
+                        "term",
+                        "num_blocks",
+                        F.ceil(F.col("df") / F.col("num_blocks"))
+                        .cast("long")
+                        .alias("max_per_block"),
+                    )
                 )
-                .select(
-                    "term",
-                    "num_blocks",
-                    F.ceil(F.col("df") / F.col("num_blocks"))
-                    .cast("long")
-                    .alias("max_per_block"),
-                )
-            )
             lex = spark.read.parquet(str(lexicon_dir)).join(blk_meta, "term")
             tmp = root / "lexicon__opt"
             lex.write.mode("overwrite").parquet(str(tmp))
             _swap_dir(tmp, lexicon_dir)
             record("optimize_lexicon", t0)
+        shutil.rmtree(blk_side_dir, ignore_errors=True)
 
         blocks_dir = root / "blocks"
         if not _stage_done(blocks_dir):
@@ -1482,10 +1519,20 @@ def optimize_index(
                     str(pos_packed_dir)
                 )
                 record("optimize_positions_packed", t0)
-            # the packed stage fully supersedes the plain one (the batch
-            # compression build writes only positions_packed/)
-            shutil.rmtree(pos_dir, ignore_errors=True)
+            # Flip + persist the flag BEFORE deleting the plain stage:
+            # serving dispatches on positions_packed, so positions/ must
+            # outlive any manifest that still points at it (a concurrent
+            # load, or a crash here, must see either flag=False with
+            # positions/ intact or flag=True with positions_packed/
+            # complete — never flag=False with positions/ gone).
             flags["positions_packed"] = True
+            manifest_path.write_text(json.dumps(manifest, indent=2))
+        if flags.get("positions_packed", False):
+            # the packed stage fully supersedes the plain one (the batch
+            # compression build writes only positions_packed/); also
+            # clears the stale dir a crash between the manifest write
+            # and this rmtree would have left behind on a prior run
+            shutil.rmtree(root / "positions", ignore_errors=True)
 
         flags["compression"] = True
         manifest_path.write_text(json.dumps(manifest, indent=2))

@@ -125,11 +125,21 @@ def driver_memory_bytes(spark) -> int:
             mem = spark.conf.get("spark.driver.memory", "1g") or "1g"
         except Exception:
             mem = "1g"
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     m = str(mem).strip().lower()
-    mult = units.get(m[-1:], 1)
-    if mult != 1:
-        m = m[:-1]
+    # JVM-style size suffixes (Spark's byteStringAsBytes); a UNITLESS
+    # spark.driver.memory is interpreted by Spark as MiB, not bytes —
+    # parsing "4096" as 4096 bytes would collapse every derived budget
+    # to its floor on a 4 GiB driver.
+    mult = 1 << 20
+    for suf, mul in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("tb", 1 << 40), ("pb", 1 << 50), ("b", 1),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40), ("p", 1 << 50),
+    ):
+        if m.endswith(suf):
+            m, mult = m[: -len(suf)], mul
+            break
     try:
         nbytes = int(float(m)) * mult
     except ValueError:
@@ -393,7 +403,6 @@ def _serve(
     if not index.manifest["flags"].get("max_score", True):
         return "fallback", None
     avgdl = stats["total_doc_len"] / stats["n_docs"]
-    n_docs = stats["n_docs"]
 
     if fetch_budget is None:
         fetch_budget = _default_fetch_budget(spark)

@@ -538,13 +538,14 @@ def bm25f_top_k(
     content = index.postings.filter(F.col("term").isin(present)).select(
         "term", "docid", F.col("tf").alias("ctf"), "doc_len"
     )
-    if index.manifest.get("flags", {}).get("fields", False):
-        fp = index.field_postings
-    else:
-        from .indexer import field_postings_frame
-
-        fp = field_postings_frame(index.doc_stats)
-    if "tf" not in fp.columns:  # pre-round-5 presence-only layout
+    fp = (
+        index.field_postings
+        if index.manifest.get("flags", {}).get("fields", False)
+        else None
+    )
+    if fp is None or "tf" not in fp.columns:
+        # no persisted field layout, or a pre-round-5 presence-only one:
+        # derive the (term, docid, tf, field_len) frame from doc_stats
         from .indexer import field_postings_frame
 
         fp = field_postings_frame(index.doc_stats)

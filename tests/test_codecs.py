@@ -35,6 +35,27 @@ def test_vb_power_of_128_boundaries():
     assert list(vb_decode(vb_encode(vals), len(vals))) == vals
 
 
+def test_vb_widths_exact_to_int64_max():
+    # A float log128 fails twice at the extremes: it rounds UP at the
+    # ulp-band just below 128**8 (emitting a phantom leading 0x00), and
+    # its power-of-128 bump guard overflows int64 at 128**9 == 2**63
+    # (width 10 for every value >= 128**8). The exact searchsorted
+    # widths must match the encoder's real byte output AND the DuckDB
+    # oracle's 9-way CASE for every int64.
+    from searchengine_spark.functions.codecs import _vb_widths
+
+    cases = {
+        128**7 - 1: 7, 128**7: 8, 128**8 - 1: 8, 128**8: 9,
+        10**17: 9, 2**62: 9, 2**63 - 1: 9,
+    }
+    for v, want in cases.items():
+        got = int(_vb_widths(np.array([v], dtype=np.int64))[0])
+        assert got == want, (v, got, want)
+        enc = vb_encode([v])
+        assert len(enc) == want, (v, len(enc), want)
+        assert list(vb_decode(enc, 1)) == [v]
+
+
 def test_unary_goldens():
     assert unary_encode([32]) == bytes([0xFF, 0xFF, 0xFF, 0xFE])
     assert unary_encode([3, 5, 11, 1, 6]) == bytes([0xDE, 0xFF, 0xCF, 0x80])

@@ -369,3 +369,74 @@ def test_incremental_to_dir_optimized(spark, tmp_path):
         assert _phrase_by_pid(opt, terms) == _phrase_by_pid(batch, terms)
     # tombstoned positions are gone from the packed artifact too
     assert (redo_pid, 2) in _phrase_by_pid(opt, ["alpha", "beta"])
+
+
+def test_driver_memory_parse_spark_semantics():
+    """spark.driver.memory follows Spark's byteStringAsMb: a UNITLESS
+    value is MiB (parsing '4096' as bytes would collapse every derived
+    budget — maxscore fetch, dedup CC edges — to its floor), and the
+    two-letter JVM suffixes are accepted."""
+    from searchengine_spark.operators.dedup import (
+        CC_LOCAL_EDGE_LIMIT,
+        _default_cc_edge_budget,
+    )
+    from searchengine_spark.operators.maxscore import driver_memory_bytes
+
+    class _Conf:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, key, default=None):
+            return self.v
+
+    class _SC:
+        def __init__(self, v):
+            self._c = _Conf(v)
+
+        def getConf(self):
+            return self._c
+
+    class _Spark:
+        def __init__(self, v):
+            self.sparkContext = _SC(v)
+            self.conf = _Conf(v)
+
+    cases = {
+        "4096": 4096 << 20,  # unitless = MiB, NOT bytes
+        "1g": 1 << 30,
+        "512m": 512 << 20,
+        "2gb": 2 << 30,
+        "1024kb": 1 << 20,
+        "123b": 123,
+        "2t": 2 << 40,
+    }
+    for raw, want in cases.items():
+        assert driver_memory_bytes(_Spark(raw)) == want, raw
+
+    # the CC edge budget never drops below the memory-unaware constant,
+    # and scales up with driver memory above it
+    assert _default_cc_edge_budget(_Spark("64m")) == CC_LOCAL_EDGE_LIMIT
+    assert _default_cc_edge_budget(_Spark("8g")) > CC_LOCAL_EDGE_LIMIT
+
+
+def test_optimize_recovers_from_swap_crash(spark, optimized_vs_batch):
+    """A process killed inside _swap_dir — dst renamed aside, tmp not
+    yet renamed in — leaves postings/ missing, postings__old/ holding
+    the intact pre-swap data, and a leftover postings__opt/ tmp. The
+    next optimize_index must rename the old dir back, clear the tmp,
+    and serve (docstring crash-safety contract)."""
+    import shutil as _sh
+
+    from searchengine_spark.operators.indexer import optimize_index
+
+    opt, _, tmp = optimized_vs_batch
+    root = tmp / "out"
+    n_before = opt.postings.count()
+    _sh.copytree(str(root / "postings"), str(root / "postings__opt"))
+    (root / "postings").rename(root / "postings__old")
+    healed = optimize_index(spark, str(root))
+    assert (root / "postings").exists()
+    assert not (root / "postings__old").exists()
+    assert not (root / "postings__opt").exists()
+    assert "block_id" in healed.postings.columns
+    assert healed.postings.count() == n_before
