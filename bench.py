@@ -230,6 +230,14 @@ def main() -> None:
         tq = time.time()
         semdedup(emb, n_centroids=64).filter("keep").count()
         timings["semdedup"] = round(time.time() - tq, 3)
+
+        # IVF-PQ ANN: quantized within-cell scan + exact re-rank of the
+        # top candidates — the 100 TB embedding-search configuration
+        from searchengine_spark.operators.similarity import ann_ivf_pq_topk
+
+        tq = time.time()
+        ann_ivf_pq_topk(emb, k=1, n_centroids=16, rerank=4).count()
+        timings["ann_ivf_pq"] = round(time.time() - tq, 3)
         from searchengine_spark.operators.similarity import (
             release_caches as release_sim_caches,
         )
@@ -261,6 +269,16 @@ def main() -> None:
         tq = time.time()
         search_with_snippets(idx_disk, docs, "spark join fast", k=10).count()
         timings["search_snippets"] = round(time.time() - tq, 3)
+
+        # true multi-field BM25F (per-field tf/length/weights) — this
+        # index carries no persisted fields stage, so the line times
+        # the derived-field fallback: two In-filtered scans, full outer
+        # merge on (term, docid), ordered fold, k-row pid join
+        from searchengine_spark.operators.query import bm25f_top_k
+
+        tq = time.time()
+        bm25f_top_k(idx_disk, "spark join fast", k=10).count()
+        timings["q_bm25f"] = round(time.time() - tq, 3)
 
         # composed code-curation pipeline (quality -> dedup -> split)
         # over the synthesized north-rule code table at the same sf
