@@ -430,13 +430,21 @@ def pq_encode(
             ROUND,
         ),
     )
-    w = Window.partitionBy("vec_id", "sub_id").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
+    # argmin via a struct-min HASH AGGREGATE, not a row_number window:
+    # the window shuffles and sorts all N*m*ks candidate rows, while
+    # the agg partial-combines map-side to one row per (vec_id, sub_id)
+    # before the shuffle — ks-fold less shuffle volume, the difference
+    # at 10^11 vectors. Struct ordering is field-lexicographic, so the
+    # pick is (d2 asc, code asc) — identical to the window's; the tie
+    # never reaches cvec because code is unique within a subspace.
+    best = joined.groupBy("vec_id", "sub_id").agg(
+        F.min(F.struct("d2", "code", "cvec")).alias("b")
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub_id", "code", "cvec")
+    return best.select(
+        "vec_id",
+        "sub_id",
+        F.col("b.code").alias("code"),
+        F.col("b.cvec").alias("cvec"),
     )
 
 
