@@ -72,11 +72,16 @@ def gate_disk_index(spark: SparkSession, sf_dir: str):
         tmp = os.path.join(tempfile.gettempdir(), f"se_gate_idx_{key}")
         marker = os.path.join(tmp, "_GATE_INDEX_OK")
         if not os.path.exists(marker):
-            # Build into a process-unique staging dir and os.rename it
-            # into the keyed path: a concurrent process that loses the
-            # publish race never rmtree's a directory another process
-            # is mid-build in or actively serving from (the rename is
-            # atomic; the loser just discards its own staging copy).
+            # Build into a process-unique staging dir (the expensive
+            # part, safely concurrent), then PUBLISH under an exclusive
+            # flock: the marker check, any rmtree of a markerless
+            # leftover, and the rename into the keyed path happen as
+            # one critical section, so a loser can never rmtree a
+            # directory another process published between its check
+            # and its delete (the pre-lock marker test is only an
+            # optimization; the locked one decides).
+            import fcntl
+
             stage = f"{tmp}__build_{os.getpid()}"
             shutil.rmtree(stage, ignore_errors=True)
             build_index(
@@ -86,20 +91,20 @@ def gate_disk_index(spark: SparkSession, sf_dir: str):
             )
             with open(os.path.join(stage, "_GATE_INDEX_OK"), "w") as fh:
                 json.dump({"key": key}, fh)
-            try:
-                os.rename(stage, tmp)
-            except OSError:
-                if os.path.exists(marker):
-                    # another process published first — serve its copy
-                    shutil.rmtree(stage, ignore_errors=True)
-                else:
-                    # markerless leftover from a crashed pre-rename run:
-                    # replace it (nobody can be serving an unpublished dir)
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    try:
-                        os.rename(stage, tmp)
-                    except OSError:
+            with open(f"{tmp}__lock", "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    if os.path.exists(marker):
+                        # another process published first — serve its copy
                         shutil.rmtree(stage, ignore_errors=True)
+                    else:
+                        # a markerless dir at the keyed path is a crashed
+                        # pre-publish leftover (published dirs always carry
+                        # the marker, and nobody serves an unpublished dir)
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        os.rename(stage, tmp)
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
         idx = InvertedIndex.load(spark, tmp)
         _DISK_IDX[sf_dir] = idx
     return idx

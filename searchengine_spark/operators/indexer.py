@@ -53,7 +53,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -208,6 +208,31 @@ def docs_from_code_table(df: DataFrame) -> DataFrame:
     )
 
 
+def field_tokens_col(pid) -> Column:
+    """Filename-field tokens of a pid (split on ``[/@.]``, empties
+    dropped) — THE definition of the BM25F filename field.
+    ``field_postings_frame``, build stage 7's ``avg_field_len``
+    manifest stat, and ``query._avg_field_len``'s fallback all call
+    this, so the persisted layout, the stored stat, and the serving
+    fallback cannot desynchronize if the field definition changes."""
+    return F.filter(F.split(pid, r"[/@.]"), lambda x: x != "")
+
+
+def avg_field_len_of(doc_stats: DataFrame) -> float:
+    """Scalar average filename-field length over a doc_stats frame —
+    the per-field avg-length input of the Robertson BM25F normalizer,
+    computed from the same ``field_tokens_col`` definition the field
+    postings are built from."""
+    row = (
+        doc_stats.select(
+            F.size(field_tokens_col(F.col("pid"))).alias("fl")
+        )
+        .agg(F.sum("fl").alias("s"), F.count("*").alias("c"))
+        .collect()[0]
+    )
+    return float(row["s"]) / float(row["c"])
+
+
 def field_postings_frame(doc_stats: DataFrame) -> DataFrame:
     """(term, docid, tf, field_len) filename-field postings derived
     from pid path tokens (pid split on ``[/@.]``, empties dropped) —
@@ -226,9 +251,7 @@ def field_postings_frame(doc_stats: DataFrame) -> DataFrame:
 
     toks = doc_stats.select(
         "docid",
-        F.filter(F.split(F.col("pid"), r"[/@.]"), lambda x: x != "").alias(
-            "tokens"
-        ),
+        field_tokens_col(F.col("pid")).alias("tokens"),
     ).withColumn("field_len", F.size("tokens").cast("long"))
     return exploded_term_tf(toks, ["docid", "field_len"]).select(
         "term", "docid", F.col("tf").cast("int").alias("tf"), "field_len"
@@ -1155,17 +1178,7 @@ def build_index(
             staged = _read_stage(spark, stage_dir, min_splits)
             # per-term df drives the sqrt block law (VocabularyEntry.java:348-361)
             df_per_term = staged.groupBy("term").agg(F.count("*").alias("df"))
-            blk = df_per_term.select(
-                "term",
-                "df",
-                F.when(F.col("df") >= BLOCK_DF_THRESHOLD,
-                       F.ceil(F.sqrt(F.col("df"))))
-                .otherwise(F.lit(1))
-                .cast("long")
-                .alias("num_blocks"),
-            ).withColumn(
-                "max_per_block", F.ceil(F.col("df") / F.col("num_blocks")).cast("long")
-            )
+            blk = _block_meta(df_per_term)
             # join the per-term block width BEFORE the rank pass (no
             # broadcast hint: the term table is vocabulary-sized; AQE picks
             # broadcast when it fits, shuffle join with skew splitting when
@@ -1294,14 +1307,7 @@ def build_index(
             # per-field avg length for the full BM25F normalizer
             # (query.bm25f_top_k) — stored like avg_doc_len so serving
             # never recomputes it
-            fl = ds.select(
-                F.size(
-                    F.filter(
-                        F.split(F.col("pid"), r"[/@.]"), lambda x: x != ""
-                    )
-                ).alias("fl")
-            ).agg(F.sum("fl").alias("s"), F.count("*").alias("c")).collect()[0]
-            manifest["stats"]["avg_field_len"] = float(fl["s"]) / float(fl["c"])
+            manifest["stats"]["avg_field_len"] = avg_field_len_of(ds)
             record("field_postings", t0)
         if cfg.fields:
             manifest["flags"]["fields"] = True
@@ -1317,11 +1323,42 @@ def build_index(
     return InvertedIndex(spark, str(root), manifest)
 
 
+def _block_meta(df_per_term: DataFrame) -> DataFrame:
+    """(term, df, num_blocks, max_per_block) from a (term, df) frame —
+    THE √df skip-block law (VocabularyEntry.java:348-361: df >= 1024
+    splits into ceil(√df) blocks of ceil(df/num_blocks), else one
+    block). Single-sourced because block alignment is parity-critical:
+    build stage 3, optimize_index's postings rewrite, and its lexicon
+    resume path must stay bit-identical, or an optimized streamed
+    index and a batch build disagree on block boundaries — and with
+    them on stored block-max bounds, which MaxScore trusts to prune."""
+    return df_per_term.select(
+        "term",
+        "df",
+        F.when(F.col("df") >= BLOCK_DF_THRESHOLD, F.ceil(F.sqrt(F.col("df"))))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("num_blocks"),
+    ).withColumn(
+        "max_per_block",
+        F.ceil(F.col("df") / F.col("num_blocks")).cast("long"),
+    )
+
+
 def _swap_dir(tmp: Path, dst: Path) -> None:
-    """Atomically-enough replace ``dst`` with ``tmp`` (rename old aside,
-    rename tmp in, delete old): a reader that opened files before the
-    swap keeps its handles; a crash between the renames leaves either
-    the old or the new dir fully intact, never a half-written one."""
+    """CRASH-safe replace of ``dst`` with ``tmp`` (rename old aside,
+    rename tmp in, delete old): a kill at any point leaves either the
+    old or the new dir fully intact on disk, never a half-written one
+    (``_recover_swap`` heals the in-between states on the next run).
+
+    NOT reader-transparent: Spark parquet readers re-list files per
+    action rather than holding POSIX handles, so a query planned in
+    the rename window — or against a manifest loaded pre-swap — can
+    fail and must be retried. ``optimize_index`` therefore requires a
+    maintenance window (see its docstring); the production posture for
+    zero-downtime is to optimize a snapshot/copy and flip a catalog
+    pointer (Iceberg snapshot commit), which this per-artifact-dir
+    layout maps onto directly."""
     old = dst.with_name(dst.name + "__old")
     if old.exists():
         shutil.rmtree(old)
@@ -1335,11 +1372,18 @@ def _recover_swap(dst: Path) -> None:
     """Heal a crash INSIDE ``_swap_dir``: a process killed between
     ``dst.rename(old)`` and ``tmp.rename(dst)`` leaves ``dst`` missing
     and ``dst__old`` holding the intact pre-swap data. Rename it back
-    so the (idempotent) stage re-runs from the old artifact; the
-    leftover ``__opt`` tmp dir is simply overwritten by that re-run."""
+    so the (idempotent) stage re-runs from the old artifact; a kill
+    AFTER ``tmp.rename(dst)`` but before the old dir's rmtree instead
+    leaves both — then ``dst`` is authoritative and the stale ``__old``
+    copy (postings-sized, the largest artifact) must be deleted here,
+    or the stage's column check skips forever and the copy leaks
+    permanently. The leftover ``__opt`` tmp dir is simply overwritten
+    by a re-run."""
     old = dst.with_name(dst.name + "__old")
     if not dst.exists() and old.exists():
         old.rename(dst)
+    elif old.exists():
+        shutil.rmtree(old, ignore_errors=True)
     # a leftover tmp dir from an interrupted run is garbage whether the
     # stage re-runs (mode=overwrite replaces it) or skips (it would
     # otherwise linger forever) — clear it while nothing is mid-write
@@ -1376,7 +1420,18 @@ def optimize_index(
     ``_SUCCESS`` / existing columns); after it, ``maxscore_topk(...,
     block_max=True)`` and packed phrase serving behave exactly as on a
     ``build_index(compression=True)`` index (parity pinned in
-    tests/test_round5.py)."""
+    tests/test_round5.py).
+
+    Concurrency contract: CRASH-safe, not reader-transparent. The
+    in-place rewrites swap dirs by rename and retire positions/ after
+    the manifest flip — a kill at any point leaves a servable index
+    that resume heals, but a SESSION SERVING QUERIES from this same
+    dir during the optimize can catch a rename window or a
+    flag-mismatched manifest and fail a query (Spark readers re-list
+    files per action; they hold no handles). Run it in a maintenance
+    window, or optimize a snapshot/copy and flip a catalog pointer
+    (Iceberg snapshot commit) for zero-downtime — the per-artifact-dir
+    layout is exactly that pattern's unit of swap."""
     root = Path(index_dir)
     manifest_path = root / "manifest.json"
     manifest = json.loads(manifest_path.read_text())
@@ -1407,20 +1462,7 @@ def optimize_index(
                 staged.groupBy("term").agg(F.count("*").alias("df")).persist()
             )
             _PERSIST_HANDLES.append(df_per_term)
-            blk = df_per_term.select(
-                "term",
-                "df",
-                F.when(
-                    F.col("df") >= BLOCK_DF_THRESHOLD,
-                    F.ceil(F.sqrt(F.col("df"))),
-                )
-                .otherwise(F.lit(1))
-                .cast("long")
-                .alias("num_blocks"),
-            ).withColumn(
-                "max_per_block",
-                F.ceil(F.col("df") / F.col("num_blocks")).cast("long"),
-            )
+            blk = _block_meta(df_per_term)
             joined = staged.join(blk.select("term", "max_per_block"), "term")
             ranked = _rank_within_groups(
                 joined, "term", "docid", "posting_rank",
@@ -1456,29 +1498,11 @@ def optimize_index(
                 # resume path (postings stage done in an earlier run):
                 # recompute from the swapped postings dir — df per term
                 # is unchanged by the rewrite
-                blk_meta = (
+                blk_meta = _block_meta(
                     spark.read.parquet(str(postings_dir))
                     .groupBy("term")
                     .agg(F.count("*").alias("df"))
-                    .select(
-                        "term",
-                        F.when(
-                            F.col("df") >= BLOCK_DF_THRESHOLD,
-                            F.ceil(F.sqrt(F.col("df"))),
-                        )
-                        .otherwise(F.lit(1))
-                        .cast("long")
-                        .alias("num_blocks"),
-                        "df",
-                    )
-                    .select(
-                        "term",
-                        "num_blocks",
-                        F.ceil(F.col("df") / F.col("num_blocks"))
-                        .cast("long")
-                        .alias("max_per_block"),
-                    )
-                )
+                ).select("term", "num_blocks", "max_per_block")
             lex = spark.read.parquet(str(lexicon_dir)).join(blk_meta, "term")
             tmp = root / "lexicon__opt"
             lex.write.mode("overwrite").parquet(str(tmp))

@@ -466,12 +466,9 @@ def _avg_field_len(index: InvertedIndex) -> float:
     cached = getattr(index, "_avg_field_len_memo", None)
     if cached is not None:
         return cached
-    row = index.doc_stats.select(
-        F.size(
-            F.filter(F.split(F.col("pid"), r"[/@.]"), lambda x: x != "")
-        ).alias("fl")
-    ).agg(F.sum("fl").alias("s"), F.count("*").alias("c")).collect()[0]
-    out = float(row["s"]) / float(row["c"])
+    from .indexer import avg_field_len_of
+
+    out = avg_field_len_of(index.doc_stats)
     try:
         index._avg_field_len_memo = out
     except AttributeError:

@@ -404,12 +404,17 @@ def pq_encode(
 ) -> DataFrame:
     """PQ encoding: per (vector, subspace), the L2-nearest code (ties
     to the lower code id) — D doubles become m small ints. Returns
-    (vec_id, sub_id, code, cvec) keeping the code's subvector so the
-    ADC scan reconstructs without a second codebook join. The N*m-row
-    scan broadcasts the codebook table; squared distance uses the
-    inner-product identity |x|^2 - 2<x,c> + |c|^2 (one expression
-    shape on both engines), rounded to {ROUND} decimals so the argmin
-    cannot flip on float summation order."""
+    (vec_id, sub_id, code) ONLY: the codes table is the persisted PQ
+    artifact and must carry ints, not reconstructed subvectors — rows
+    that dragged the D/m-double ``cvec`` along would put the full raw
+    corpus volume back through every downstream candidate join,
+    defeating the ~32x size reduction that is PQ's whole point at
+    10^11 vectors (the scan reconstructs via the tiny broadcast
+    codebook instead). The N*m-row scan broadcasts the codebook table;
+    squared distance uses the inner-product identity
+    |x|^2 - 2<x,c> + |c|^2 (one expression shape on both engines),
+    rounded to {ROUND} decimals so the argmin cannot flip on float
+    summation order."""
     v = vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         as_double(F.col(vec_col)).alias("emb"),
@@ -435,16 +440,15 @@ def pq_encode(
     # the agg partial-combines map-side to one row per (vec_id, sub_id)
     # before the shuffle — ks-fold less shuffle volume, the difference
     # at 10^11 vectors. Struct ordering is field-lexicographic, so the
-    # pick is (d2 asc, code asc) — identical to the window's; the tie
-    # never reaches cvec because code is unique within a subspace.
+    # pick is (d2 asc, code asc) — identical to the window's; code is
+    # unique within a subspace, so the tie never goes deeper.
     best = joined.groupBy("vec_id", "sub_id").agg(
-        F.min(F.struct("d2", "code", "cvec")).alias("b")
+        F.min(F.struct("d2", "code")).alias("b")
     )
     return best.select(
         "vec_id",
         "sub_id",
         F.col("b.code").alias("code"),
-        F.col("b.cvec").alias("cvec"),
     )
 
 
@@ -464,9 +468,11 @@ def ann_ivf_pq_topk(
     shape (Jégou et al., TPAMI 2011): the within-cell scan reads PQ
     CODES (m ints + the codebook, ~32x smaller than raw doubles — at
     10^11 vectors the probe reads dominate and raw-double cells are
-    I/O-bound), scores candidates by asymmetric distance (raw query
-    subvectors against reconstructed code subvectors, folded in
-    subspace order), keeps the top ``rerank`` per query, and re-scores
+    I/O-bound), scores candidates by asymmetric distance through the
+    standard per-query lookup table (query subvectors dotted against
+    the broadcast codebook once; the candidate join itself moves only
+    ints and scalars, folded in subspace order), keeps the top
+    ``rerank`` per query, and re-scores
     ONLY those with exact cosine on the raw vectors. recall@1 vs the
     exact within-cell search is monotone non-decreasing in ``rerank``
     and reaches 1.0 once rerank covers the cell (pinned in
@@ -485,28 +491,47 @@ def ann_ivf_pq_topk(
     home = cells.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
     probe = cells.select(
         F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
         dot(F.col("emb"), F.col("emb")).alias("qdot"),
         "cell",
     )
-    codes = pq_encode(vectors, pq_codebooks(vectors, m, ks, id_col, vec_col),
-                      m, id_col, vec_col)
+    cb = pq_codebooks(vectors, m, ks, id_col, vec_col)
+    codes = pq_encode(vectors, cb, m, id_col, vec_col)
+    # Per-query ADC lookup table (Jégou et al. §IV-A): each query dots
+    # its m subvectors against the m*ks codebook entries ONCE — the
+    # candidate scan then never touches an array, it joins int codes
+    # to precomputed scalars. This is what keeps the big join narrow:
+    # cand rows are (query_id, neighbor_id, qdot) and codes rows are
+    # (vec_id, sub_id, code) — pure ints/scalars; the only frame that
+    # carries subvectors is the broadcast m*ks codebook.
+    qsubs = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(_sub_slices(F.col("emb"), m)),
+    ).select(
+        "query_id",
+        F.col("pos").cast("int").alias("sub_id"),
+        F.col("col").alias("qsvec"),
+    )
+    qlut = qsubs.join(F.broadcast(cb), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "code",
+        dot(F.col("qsvec"), F.col("cvec")).alias("qc"),
+        dot(F.col("cvec"), F.col("cvec")).alias("cc"),
+    )
     cand = probe.join(
         home.select(F.col("vec_id").alias("neighbor_id"), "cell"), "cell"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    sd = (F.size(F.col("qemb")) / F.lit(m)).cast("int")
+    ).filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", "qdot"
+    )
     per_sub = cand.join(
         codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
-    ).select(
+    ).join(qlut, ["query_id", "sub_id", "code"]).select(
         "query_id",
         "neighbor_id",
         "sub_id",
         "qdot",
-        dot(
-            F.slice(F.col("qemb"), F.col("sub_id") * sd + 1, sd),
-            F.col("cvec"),
-        ).alias("qc"),
-        dot(F.col("cvec"), F.col("cvec")).alias("cc"),
+        "qc",
+        "cc",
     )
     adc = per_sub.groupBy("query_id", "neighbor_id").agg(
         F.aggregate(
