@@ -688,7 +688,6 @@ _register_prf()
 # ---------------------------------------------------------------------------
 
 _FIELDED_TERMS = ["spark", "join", "fast"]
-_FIELDED_W = 1.0
 
 
 def _fielded_index_frames(spark: SparkSession, sf_dir: str):

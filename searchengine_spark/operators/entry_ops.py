@@ -84,27 +84,38 @@ def gate_disk_index(spark: SparkSession, sf_dir: str):
 
             stage = f"{tmp}__build_{os.getpid()}"
             shutil.rmtree(stage, ignore_errors=True)
-            build_index(
-                entry._docs(spark, sf_dir),
-                stage,
-                IndexConfig(stem_stop=False, compression=True, positions=True),
-            )
-            with open(os.path.join(stage, "_GATE_INDEX_OK"), "w") as fh:
-                json.dump({"key": key}, fh)
-            with open(f"{tmp}__lock", "w") as lk:
-                fcntl.flock(lk, fcntl.LOCK_EX)
-                try:
-                    if os.path.exists(marker):
-                        # another process published first — serve its copy
-                        shutil.rmtree(stage, ignore_errors=True)
-                    else:
-                        # a markerless dir at the keyed path is a crashed
-                        # pre-publish leftover (published dirs always carry
-                        # the marker, and nobody serves an unpublished dir)
-                        shutil.rmtree(tmp, ignore_errors=True)
-                        os.rename(stage, tmp)
-                finally:
-                    fcntl.flock(lk, fcntl.LOCK_UN)
+            try:
+                build_index(
+                    entry._docs(spark, sf_dir),
+                    stage,
+                    IndexConfig(
+                        stem_stop=False, compression=True, positions=True
+                    ),
+                )
+                with open(os.path.join(stage, "_GATE_INDEX_OK"), "w") as fh:
+                    json.dump({"key": key}, fh)
+                with open(f"{tmp}__lock", "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    try:
+                        if os.path.exists(marker):
+                            # another process published first — serve its
+                            # copy
+                            shutil.rmtree(stage, ignore_errors=True)
+                        else:
+                            # a markerless dir at the keyed path is a
+                            # crashed pre-publish leftover (published dirs
+                            # always carry the marker, and nobody serves an
+                            # unpublished dir)
+                            shutil.rmtree(tmp, ignore_errors=True)
+                            os.rename(stage, tmp)
+                    finally:
+                        fcntl.flock(lk, fcntl.LOCK_UN)
+            except BaseException:
+                # a failed build (or a publish error) must not leak the
+                # pid-unique staging dir — it holds a full compressed
+                # positional index and no later run reuses the path
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
         idx = InvertedIndex.load(spark, tmp)
         _DISK_IDX[sf_dir] = idx
     return idx

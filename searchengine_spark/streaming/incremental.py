@@ -176,39 +176,111 @@ def _write_servable(
     (doc_stats/, postings/ range-sorted by (term, docid), lexicon/,
     manifest.json — plus positions/ and field_postings/ when the ingest
     ran with those flags) so ``InvertedIndex.load(out_dir)`` works on
-    it. With ``optimize=True`` the handoff is completed by
-    ``indexer.optimize_index`` — block descriptors with stored
-    block-max scores plus gap-VB packed postings/positions — so the
-    streamed index serves MaxScore block-max pruning and the packed
-    codecs WITHOUT a batch rebuild (the segment-then-optimize
-    lifecycle, now closed end-to-end)."""
+    it. With ``optimize=True`` the handoff writes the batch
+    compression build's own shapes directly — postings with
+    ``block_id`` stamped in the SAME range shuffle that produces the
+    final layout (build stage 3's plan), lexicon with the block meta
+    joined, and positions gap-VB packed from the in-memory sorted
+    frame (stage 6's plan) — then ``indexer.optimize_index`` completes
+    only the derived side artifacts (blocks/ with stored bmax,
+    postings_packed/). The streamed index thus serves MaxScore
+    block-max pruning and the packed codecs WITHOUT a batch rebuild
+    (segment-then-optimize), and without paying a second full shuffle
+    + rewrite of the two largest artifacts just to stamp metadata.
+
+    Re-compaction into an EXISTING servable dir is supported: any
+    previously derived optimization artifacts are deleted up front —
+    docids are reassigned by recompaction, so old blocks/' bmax bounds
+    would let MaxScore prune against the previous corpus and old
+    packed postings/positions would resolve stale docids against the
+    new doc_stats, while ``optimize_index``'s per-artifact resume
+    checks (``_SUCCESS`` / column presence) cannot tell "resumed run"
+    from "previous corpus". A crash MID-handoff leaves a mixed dir the
+    same way it always did: re-run the handoff (every write is
+    mode=overwrite) before serving."""
     import json
+    import shutil
     from pathlib import Path
 
-    from ..operators.indexer import InvertedIndex, _n_eff, optimize_index
+    from ..operators.indexer import (
+        InvertedIndex,
+        _block_meta,
+        _n_eff,
+        _rank_within_groups,
+        _release_persisted,
+        optimize_index,
+    )
+    from ..operators.indexer import pack_positions
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    # invalidate derived artifacts of any previous compaction into this
+    # dir (plus optimize_index's swap/staging leftovers) — see docstring
+    for stale in (
+        "blocks", "postings_packed", "positions_packed", "term_blk__opt",
+        "postings__opt", "lexicon__opt", "postings__old", "lexicon__old",
+    ):
+        shutil.rmtree(out / stale, ignore_errors=True)
     frames.doc_stats.write.mode("overwrite").parquet(str(out / "doc_stats"))
-    (
-        frames.postings.repartitionByRange(
-            _n_eff(spark), "term", "docid"
-        )
-        .sortWithinPartitions("term", "docid")
-        .write.mode("overwrite")
-        .parquet(str(out / "postings"))
-    )
-    frames.lexicon.write.mode("overwrite").parquet(str(out / "lexicon"))
     flags = dict(frames.manifest["flags"])
-    if flags.get("positions", False):
+    if optimize:
+        # stamp block_id inside the one range shuffle that also yields
+        # the final (term, docid)-sorted layout — identical plan (and
+        # single-sourced √df law) to batch build stage 3 and to
+        # optimize_index's rewrite, so block alignment stays bit-equal
+        df_per_term = (
+            frames.postings.groupBy("term").agg(F.count("*").alias("df"))
+        )
+        blk = _block_meta(df_per_term).persist()
+        joined = frames.postings.join(
+            blk.select("term", "max_per_block"), "term"
+        )
+        ranked = _rank_within_groups(joined, "term", "docid", "posting_rank")
         (
+            ranked.withColumn(
+                "block_id",
+                (F.col("posting_rank") / F.col("max_per_block")).cast("long"),
+            )
+            .select("term", "docid", "tf", "doc_len", "block_id")
+            .write.mode("overwrite")
+            .parquet(str(out / "postings"))
+        )
+        (
+            frames.lexicon.join(
+                blk.select("term", "num_blocks", "max_per_block"), "term"
+            )
+            .write.mode("overwrite")
+            .parquet(str(out / "lexicon"))
+        )
+        blk.unpersist()
+        _release_persisted()
+    else:
+        (
+            frames.postings.repartitionByRange(
+                _n_eff(spark), "term", "docid"
+            )
+            .sortWithinPartitions("term", "docid")
+            .write.mode("overwrite")
+            .parquet(str(out / "postings"))
+        )
+        frames.lexicon.write.mode("overwrite").parquet(str(out / "lexicon"))
+    if flags.get("positions", False):
+        pos = (
             positions_df.select("term", "docid", "doc_len", "tf", "positions")
             .repartitionByRange(_n_eff(spark), "term", "docid")
             .sortWithinPartitions("term", "docid")
-            .write.mode("overwrite")
-            .parquet(str(out / "positions"))
         )
-        flags["positions_packed"] = False
+        if optimize:
+            # gap-VB pack from the in-memory sorted frame (batch stage
+            # 6's compression shape) instead of writing the plain stage
+            # only for optimize_index to re-read, pack, and delete it
+            pack_positions(pos).write.mode("overwrite").parquet(
+                str(out / "positions_packed")
+            )
+            flags["positions_packed"] = True
+        else:
+            pos.write.mode("overwrite").parquet(str(out / "positions"))
+            flags["positions_packed"] = False
     if flags.get("fields", False):
         # BM25F filename-field postings are a narrow projection of the
         # compacted doc_stats (pid path tokens) — same derivation as

@@ -440,3 +440,105 @@ def test_optimize_recovers_from_swap_crash(spark, optimized_vs_batch):
     assert not (root / "postings__opt").exists()
     assert "block_id" in healed.postings.columns
     assert healed.postings.count() == n_before
+
+
+def test_recompaction_invalidates_derived_artifacts(spark, tmp_path):
+    """A second compact_to_dir(optimize=True) into the SAME servable
+    dir must re-derive blocks/ and the packed artifacts: recompaction
+    reassigns docids and shifts every score, so the previous run's
+    block-max bounds and packed docid streams are stale even though
+    their _SUCCESS markers survive — optimize_index's per-artifact
+    resume checks cannot tell a resumed run from a previous corpus, so
+    the handoff deletes derived artifacts up front. Also pins the
+    DEFERRED path (compact with optimize=False, optimize_index later),
+    which is the background-schedule posture the docstrings advertise
+    and the only remaining user of optimize_index's own postings
+    rewrite."""
+    import __spark_entry__ as e
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        build_index,
+        optimize_index,
+    )
+    from searchengine_spark.streaming.incremental import (
+        compact_to_dir,
+        start_ingest,
+    )
+
+    base = (
+        e._docs(spark, "/root/testdata/sf0.001").orderBy("pid").limit(40).cache()
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_docs_file(base, src / "f1.parquet")
+    sidx = str(tmp_path / "sidx")
+    assert start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(180)
+    out = str(tmp_path / "out")
+    compact_to_dir(spark, sidx, out, optimize=True)
+
+    # grow the corpus with a pid that sorts FIRST (every docid shifts,
+    # so every stale artifact is maximally wrong), re-ingest, re-compact
+    # into the SAME dir
+    pq.write_table(
+        pa.table(
+            {
+                "pid": ["aaa_first", "zzz_last"],
+                "content": ["alpha beta alpha", "alpha beta spark join"],
+            }
+        ),
+        str(src / "f2.parquet"),
+    )
+    assert start_ingest(
+        spark, str(src), sidx, stem_stop=False, positions=True
+    ).awaitTermination(180)
+    opt2 = compact_to_dir(spark, sidx, out, optimize=True)
+
+    final = base.unionByName(
+        spark.createDataFrame(
+            [
+                ("aaa_first", "alpha beta alpha"),
+                ("zzz_last", "alpha beta spark join"),
+            ],
+            "pid string, content string",
+        )
+    )
+    batch = build_index(
+        final,
+        str(tmp_path / "batch"),
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    pcols = ["term", "docid", "tf", "doc_len", "block_id"]
+    assert {tuple(r) for r in opt2.postings.select(*pcols).collect()} == {
+        tuple(r) for r in batch.postings.select(*pcols).collect()
+    }
+    bcols = [
+        "term", "block_id", "max_docid", "num_postings",
+        "bmax_bm25", "bmax_tfidf",
+    ]
+    assert {tuple(r) for r in opt2.blocks.select(*bcols).collect()} == {
+        tuple(r) for r in batch.blocks.select(*bcols).collect()
+    }
+    for q in ("alpha beta", "spark join"):
+        got = _topk_by_pid(opt2, q, block_max=True)
+        assert got == _topk_by_pid(batch, q, block_max=True), q
+        assert got == _topk_by_pid(opt2, q, block_max=False), q
+    assert _phrase_by_pid(opt2, ["alpha", "beta"]) == _phrase_by_pid(
+        batch, ["alpha", "beta"]
+    )
+
+    # deferred optimize: plain handoff now, optimize_index on a later
+    # schedule — optimize_index's own postings/lexicon rewrite path
+    out2 = str(tmp_path / "out2")
+    compact_to_dir(spark, sidx, out2, optimize=False)
+    deferred = optimize_index(spark, out2)
+    assert {tuple(r) for r in deferred.postings.select(*pcols).collect()} == {
+        tuple(r) for r in batch.postings.select(*pcols).collect()
+    }
+    assert {tuple(r) for r in deferred.blocks.select(*bcols).collect()} == {
+        tuple(r) for r in batch.blocks.select(*bcols).collect()
+    }
+    assert _topk_by_pid(deferred, "alpha beta", block_max=True) == _topk_by_pid(
+        batch, "alpha beta", block_max=True
+    )
