@@ -1080,11 +1080,15 @@ def build_index(
     )
     # pre-max_score manifests (2 keys) default the flag like query time does
     manifest["flags"].setdefault("max_score", True)
-    # `positions` is stage presence, not a query-semantics flag: an index
-    # can gain the positions stage on a later build without invalidating
-    # the resume identity (stem_stop/compression/max_score must match).
+    # `positions`/`positions_packed`/`fields` are stage presence, not
+    # query-semantics flags: stages 6-7 (and optimize_index) record them
+    # in the manifest as they complete, so a resume — or an idempotent
+    # re-run — of a positional/fielded build must not read them as a
+    # semantic mismatch (stem_stop/compression/max_score must match).
     loaded_semantic = {
-        k: v for k, v in manifest["flags"].items() if k != "positions"
+        k: v
+        for k, v in manifest["flags"].items()
+        if k not in ("positions", "positions_packed", "fields")
     }
     if loaded_semantic != flags:
         raise ValueError(

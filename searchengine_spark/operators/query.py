@@ -461,7 +461,9 @@ def _avg_field_len(index: InvertedIndex) -> float:
     (stage 7); else computes it once from doc_stats and memoizes on
     the index object (serving warms it exactly once)."""
     stats = index.stats if isinstance(index.stats, dict) else {}
-    if stats.get("avg_field_len"):
+    # presence check, not truthiness: a recorded avg_field_len of 0.0
+    # (every pid tokenizes to empty) is a valid stat, not a missing one
+    if stats.get("avg_field_len") is not None:
         return float(stats["avg_field_len"])
     cached = getattr(index, "_avg_field_len_memo", None)
     if cached is not None:

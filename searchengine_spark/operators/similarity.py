@@ -359,11 +359,24 @@ def ann_ivf_topk(
 
 def _sub_slices(emb: Column, m: int) -> Column:
     """Array of the ``m`` contiguous subvectors of ``emb`` (PQ subspace
-    decomposition; dims must divide evenly — the standard PQ layout)."""
+    decomposition). The dimension MUST divide evenly by ``m`` — the
+    standard PQ layout; an indivisible dim would otherwise SILENTLY
+    drop the trailing ``dim % m`` dimensions from both the codebooks
+    and the ADC scores (lossy codes with no error), so it fails loudly
+    per row instead (one codegen'd modulo — free next to the slices)."""
+    checked = F.when(F.size(emb) % F.lit(m) == F.lit(0), emb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("PQ subspace split: embedding dim "),
+                F.size(emb).cast("string"),
+                F.lit(f" is not divisible by m={m}"),
+            )
+        )
+    )
     sd = (F.size(emb) / F.lit(m)).cast("int")
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.slice(emb, j * sd + 1, sd),
+        lambda j: F.slice(checked, j * sd + 1, sd),
     )
 
 

@@ -163,6 +163,25 @@ def start_ingest(
     return writer.start()
 
 
+def _prepare_out(out) -> None:
+    """mkdir the servable dir and delete the derived artifacts of any
+    PREVIOUS compaction into it (plus ``optimize_index``'s swap/staging
+    leftovers): recompaction reassigns docids, so a stale blocks/'s
+    bmax bounds would let MaxScore prune against the previous corpus
+    and stale packed postings/positions would resolve old docids
+    against the new doc_stats — while ``optimize_index``'s
+    per-artifact resume checks (``_SUCCESS`` / column presence) cannot
+    tell "resumed run" from "previous corpus"."""
+    import shutil
+
+    out.mkdir(parents=True, exist_ok=True)
+    for stale in (
+        "blocks", "postings_packed", "positions_packed", "term_blk__opt",
+        "postings__opt", "lexicon__opt", "postings__old", "lexicon__old",
+    ):
+        shutil.rmtree(out / stale, ignore_errors=True)
+
+
 def _write_servable(
     spark: SparkSession,
     frames,
@@ -170,6 +189,7 @@ def _write_servable(
     index_dir: str,
     positions_df: DataFrame | None,
     optimize: bool,
+    doc_stats_written: bool = False,
 ):
     """Shared disk handoff for both streaming compaction flavors:
     materialize an ``IndexFrames`` in the batch build's layout
@@ -197,9 +217,15 @@ def _write_servable(
     checks (``_SUCCESS`` / column presence) cannot tell "resumed run"
     from "previous corpus". A crash MID-handoff leaves a mixed dir the
     same way it always did: re-run the handoff (every write is
-    mode=overwrite) before serving."""
+    mode=overwrite) before serving.
+
+    ``doc_stats_written=True`` means the caller already prepared the
+    dir and wrote doc_stats/, and every frame it passes derives its
+    docids from the READ-BACK of that parquet (``compact_to_dir``'s
+    pin) — the strongest form of the one-assignment invariant: all
+    artifacts of one handoff provably share the docids that were
+    written, whatever happens to in-memory caches between actions."""
     import json
-    import shutil
     from pathlib import Path
 
     from ..operators.indexer import (
@@ -213,15 +239,11 @@ def _write_servable(
     from ..operators.indexer import pack_positions
 
     out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    # invalidate derived artifacts of any previous compaction into this
-    # dir (plus optimize_index's swap/staging leftovers) — see docstring
-    for stale in (
-        "blocks", "postings_packed", "positions_packed", "term_blk__opt",
-        "postings__opt", "lexicon__opt", "postings__old", "lexicon__old",
-    ):
-        shutil.rmtree(out / stale, ignore_errors=True)
-    frames.doc_stats.write.mode("overwrite").parquet(str(out / "doc_stats"))
+    if not doc_stats_written:
+        _prepare_out(out)
+        frames.doc_stats.write.mode("overwrite").parquet(
+            str(out / "doc_stats")
+        )
     flags = dict(frames.manifest["flags"])
     if optimize:
         # stamp block_id inside the one range shuffle that also yields
@@ -327,7 +349,23 @@ def compact_to_dir(
     and gap-VB packed postings/positions, after which block-max
     MaxScore and packed phrase serving match a compression batch
     build exactly."""
+    from pathlib import Path
+
+    # write doc_stats FIRST, then derive EVERY other artifact from the
+    # read-back of that parquet: recompaction assigns fresh docids, and
+    # an assignment that lives only in a cached plan is one
+    # clearCache()/cache-loss-plus-replan away from a resampled range
+    # shuffle handing the later writes DIFFERENT docids than the
+    # doc_stats already on disk. Reading back pins the invariant
+    # structurally — the same stage-checkpoint posture as the batch
+    # build, whose stages 2+ always read stage 1's parquet.
     frames = compact(spark, index_dir)
+    out = Path(out_dir)
+    _prepare_out(out)
+    frames.doc_stats.write.mode("overwrite").parquet(str(out / "doc_stats"))
+    frames.doc_stats.unpersist()
+    ds_pin = spark.read.parquet(str(out / "doc_stats"))
+    frames = compact(spark, index_dir, doc_stats=ds_pin)
     positions_df = None
     if frames.manifest["flags"].get("positions", False):
         # fold the positional staging area (latest batch per pid wins,
@@ -343,14 +381,14 @@ def compact_to_dir(
             .groupBy("pid")
             .agg(F.max("batch_id").alias("batch_id"))
         )
-        ds = frames.doc_stats.select("pid", "docid")
         positions_df = (
             staged_pos.join(latest, ["pid", "batch_id"])
-            .join(ds, "pid")
+            .join(ds_pin.select("pid", "docid"), "pid")
             .select("term", "docid", "doc_len", "tf", "positions")
         )
     return _write_servable(
-        spark, frames, out_dir, index_dir, positions_df, optimize
+        spark, frames, out_dir, index_dir, positions_df, optimize,
+        doc_stats_written=True,
     )
 
 
@@ -844,12 +882,23 @@ def compact_incremental(spark: SparkSession, index_dir: str):
     )
 
 
-def compact(spark: SparkSession, index_dir: str):
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    doc_stats: DataFrame | None = None,
+):
     """Fold staged streaming blocks into a servable in-memory index:
     doc stats + postings + lexicon over everything ingested so far.
     Dense docids are (re)assigned by pid order at compaction time.
     Flags come from the ingest's ``stream_manifest.json`` (never
-    assumed), so query-time analysis matches ingest-time analysis."""
+    assumed), so query-time analysis matches ingest-time analysis.
+
+    ``doc_stats`` pins an EXISTING (docid, pid, doc_len,
+    content_sha256) assignment instead of assigning fresh ids —
+    ``compact_to_dir`` passes the read-back of the doc_stats parquet
+    it just wrote, so postings/lexicon/stats provably derive from the
+    on-disk assignment rather than from a cached plan whose docids
+    exist only in memory."""
     import json
     from pathlib import Path
 
@@ -868,9 +917,12 @@ def compact(spark: SparkSession, index_dir: str):
     latest = staged.groupBy("pid").agg(F.max("batch_id").alias("batch_id"))
     cur = staged.join(latest, ["pid", "batch_id"])
 
-    doc_rows = cur.select("pid", "content_sha256", "doc_len").distinct()
-    with_ids = assign_dense_ids(doc_rows, ["pid"], "docid", start=1)
-    doc_stats = with_ids.select("docid", "pid", "doc_len", "content_sha256").cache()
+    if doc_stats is None:
+        doc_rows = cur.select("pid", "content_sha256", "doc_len").distinct()
+        with_ids = assign_dense_ids(doc_rows, ["pid"], "docid", start=1)
+        doc_stats = with_ids.select(
+            "docid", "pid", "doc_len", "content_sha256"
+        ).cache()
     postings = (
         cur.join(doc_stats.select("pid", "docid"), "pid")
         .select("term", "docid", "tf", "doc_len")

@@ -542,3 +542,62 @@ def test_recompaction_invalidates_derived_artifacts(spark, tmp_path):
     assert _topk_by_pid(deferred, "alpha beta", block_max=True) == _topk_by_pid(
         batch, "alpha beta", block_max=True
     )
+
+
+def test_positional_build_rerun_resumes(spark, tmp_path):
+    """An idempotent re-run (and therefore a crash-resume) of a
+    positions+fields build must NOT raise "index flags mismatch":
+    stages 6-7 persist positions_packed/fields into the manifest as
+    they complete, and those are stage-presence records, not the
+    semantic resume identity (stem_stop/compression/max_score)."""
+    import __spark_entry__ as e
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        build_index,
+    )
+
+    docs = e._docs(spark, "/root/testdata/sf0.001").orderBy("pid").limit(30)
+    cfg = IndexConfig(
+        stem_stop=False, compression=True, positions=True, fields=True
+    )
+    idx1 = build_index(docs, str(tmp_path / "idx"), cfg)
+    n = idx1.postings.count()
+    # same dir, same config: every stage is already complete, so this
+    # must be a pure resume — no rebuild, no flags-mismatch ValueError
+    idx2 = build_index(docs, str(tmp_path / "idx"), cfg)
+    assert idx2.postings.count() == n
+    assert idx2.manifest["flags"]["positions_packed"] is True
+    assert idx2.manifest["flags"]["fields"] is True
+    # a REAL semantic mismatch still raises
+    with pytest.raises(ValueError, match="flags mismatch"):
+        build_index(
+            docs,
+            str(tmp_path / "idx"),
+            IndexConfig(stem_stop=True, compression=True, positions=True),
+        )
+
+
+def test_pq_indivisible_dim_fails_loudly(spark):
+    """A PQ subspace split on an embedding dim not divisible by m must
+    raise, not silently drop the trailing dims from the codebooks and
+    ADC scores (lossy codes with no error)."""
+    from searchengine_spark.operators.similarity import pq_codebooks
+
+    v = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0, 5.0]), (1, [5.0, 4.0, 3.0, 2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        pq_codebooks(v, m=2, ks=2).collect()
+
+
+def test_avg_field_len_zero_stat_is_trusted():
+    """A manifest-recorded avg_field_len of 0.0 is a valid stat (every
+    pid tokenizes to empty) — the manifest branch must take it rather
+    than falling through to a doc_stats recompute."""
+    from searchengine_spark.operators.query import _avg_field_len
+
+    class _Stub:
+        stats = {"avg_field_len": 0.0}
+
+    assert _avg_field_len(_Stub()) == 0.0
