@@ -363,16 +363,20 @@ def _sub_slices(emb: Column, m: int) -> Column:
     standard PQ layout; an indivisible dim would otherwise SILENTLY
     drop the trailing ``dim % m`` dimensions from both the codebooks
     and the ADC scores (lossy codes with no error), so it fails loudly
-    per row instead (one codegen'd modulo — free next to the slices)."""
-    checked = F.when(F.size(emb) % F.lit(m) == F.lit(0), emb).otherwise(
+    per row instead (one codegen'd modulo — free next to the slices).
+    NULL embeddings pass through as NULL — dirty-corpus rows keep the
+    same null propagation as every other ANN path (size(NULL) is NULL,
+    and a NULL condition must not fall into the error branch)."""
+    checked = F.when(
+        emb.isNotNull() & (F.size(emb) % F.lit(m) != F.lit(0)),
         F.raise_error(
             F.concat(
                 F.lit("PQ subspace split: embedding dim "),
                 F.size(emb).cast("string"),
                 F.lit(f" is not divisible by m={m}"),
             )
-        )
-    )
+        ),
+    ).otherwise(emb)
     sd = (F.size(emb) / F.lit(m)).cast("int")
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),

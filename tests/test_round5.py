@@ -591,6 +591,28 @@ def test_pq_indivisible_dim_fails_loudly(spark):
         pq_codebooks(v, m=2, ks=2).collect()
 
 
+def test_pq_null_embedding_passes_dim_check(spark):
+    """NULL embeddings must NOT trip the PQ dim check: size(NULL) is
+    NULL, and a NULL when-condition must fall to the pass-through
+    branch, keeping the same null propagation as every other ANN path
+    (regression: the adversarial-corpus null row raised)."""
+    from searchengine_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    v = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [4.0, 3.0, 2.0, 1.0]),
+         (3, [2.0, 2.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # both the codebook path and the full IVF-PQ pipeline survive
+    assert pq_codebooks(v, m=2, ks=2).collect() is not None
+    rows = ann_ivf_pq_topk(v, k=1, n_centroids=2, m=2, ks=2,
+                           rerank=2).collect()
+    assert rows is not None
+
+
 def test_avg_field_len_zero_stat_is_trusted():
     """A manifest-recorded avg_field_len of 0.0 is a valid stat (every
     pid tokenizes to empty) — the manifest branch must take it rather
