@@ -132,6 +132,20 @@ def main() -> None:
                 maxscore_topk_rows(idx, text, k=10)
                 warm_lat.append((time.time() - tq) * 1000)
 
+        # Block-Max WAND over the same warmed index (second pruning
+        # strategy, same stored bounds + LRUs) — comparable to the
+        # MaxScore warm p50 above, rank-identical results
+        from searchengine_spark.operators.maxscore import bmw_topk_rows
+
+        bmw_lat: list[float] = []
+        for text in warm_qs:
+            bmw_topk_rows(idx, text, k=10)  # populate bound memos
+        for _ in range(5):
+            for text in warm_qs:
+                tq = time.time()
+                bmw_topk_rows(idx, text, k=10)
+                bmw_lat.append((time.time() - tq) * 1000)
+
         # batched evaluation throughput: 50 queries in ONE job
         # (QueryPerformancesMain's 6,980-query shape)
         from searchengine_spark.operators.query import batch_top_k
@@ -328,6 +342,7 @@ def main() -> None:
             "docs_per_sec_unreplicated": round(n_docs / build_sec, 1),
             "query_p50_ms": round(statistics.median(lat) * 1000, 1),
             "query_warm_p50_ms": round(statistics.median(warm_lat), 2),
+            "query_warm_bmw_p50_ms": round(statistics.median(bmw_lat), 2),
             "batch_queries_per_sec": round(50 / batch_sec, 1),
             "batch500_queries_per_sec": round(500 / batch500_sec, 1),
             "batch7000_queries_per_sec": round(7000 / batch7k_sec, 1),

@@ -203,6 +203,24 @@ def _q_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-Max WAND (Broder et al. CIKM 2003 + Ding & Suel SIGIR
+    2011): pivot-driven skipping re-checked against per-block maxima —
+    the second dynamic-pruning strategy beside MaxScore, same stored
+    bounds, rank-identical results. Oracle = the exact disjunctive
+    SQL, same as every pruning gate (pruning is a performance device,
+    not a semantics change)."""
+    import __spark_entry__ as entry
+
+    from .maxscore import bmw_topk
+
+    idx = _frames(spark, sf_dir)
+    return bmw_topk(
+        idx, "merge sort spark", k=10, scoring="bm25",
+        round_decimals=entry.ROUND,
+    )
+
+
 # pipeline LSH banding: k=16, 8 bands x 2 rows -> P(candidate at
 # J=0.8) = 1-(1-0.8^2)^8 ~ 0.9997 per pair; the oracle restricts to
 # the SAME candidates (bit-identical banding in SQL), so the gate is
@@ -361,6 +379,11 @@ FROM events GROUP BY 1, 2
         "topk_bm25_blockmax",
         _q_topk_blockmax,
         entry._topk_sql(["hash", "merge", "spark"], "bm25", False, 10),
+    )
+    register(
+        "topk_bm25_bmw",
+        _q_topk_bmw,
+        entry._topk_sql(["merge", "sort", "spark"], "bm25", False, 10),
     )
     register(
         "pipeline_curated_corpus",

@@ -66,6 +66,7 @@ MERGES: list[Union | Join] = [
         Part("topk_bm25_maxscore", "maxscore"),
         Part("topk_bm25_packed", "packed"),
         Part("topk_bm25_blockmax", "blockmax"),
+        Part("topk_bm25_bmw", "bmw"),
     ]),
     Union("trec_run_paths", [
         Part("trec_run", "perquery"),

@@ -381,6 +381,145 @@ def _maxscore_slice(
     return [(sc, -nd) for sc, nd in heap]
 
 
+def _bmw_slice(
+    lists: list[dict],
+    lo: int,
+    hi: int,
+    k: int,
+    conjunctive: bool = False,
+    round_decimals: int | None = None,
+) -> list[tuple[float, int]]:
+    """Block-Max WAND over docid range [lo, hi) — disjunctive only.
+
+    WAND pivot selection (Broder et al., "Efficient query evaluation
+    using a two-level retrieval process", CIKM 2003) with the block-max
+    refinements of Ding & Suel (SIGIR 2011, Algorithm 3): lists stay
+    sorted by CURRENT docid; the pivot is the first prefix whose summed
+    global term bounds beat the threshold; the pivot docid is then
+    re-checked against the sum of its CURRENT-BLOCK maxima, and a
+    failed check skips straight past the nearest block boundary
+    (capped at the next list's cursor, which the pivot prefix did not
+    account for) without touching a posting. The block bounds are the
+    same exact per-block maxima MaxScore's BMM probe uses (stored
+    blocks/ table or ``_block_bounds``), so the result is
+    rank-identical to exact DAAT — not an approximation. Heap/tie
+    semantics identical to ``_maxscore_slice``: strict ``>``, rounded
+    scores decide selection, final order score DESC / docid ASC.
+
+    Safety of the two prunes under rounding mirrors _maxscore_slice:
+    bounds are unrounded, the threshold is a fixed point of round(),
+    and round() is monotone — exact <= threshold implies
+    round(exact) <= threshold, so a skipped doc can never strictly
+    beat the rounded threshold.
+    """
+    if conjunctive:
+        raise ValueError("BMW is a disjunctive evaluator; "
+                         "use MaxScore for conjunctive queries")
+    views = []
+    for pl in lists:
+        d = pl["docids"]
+        s, e = np.searchsorted(d, lo), np.searchsorted(d, hi)
+        if e - s == 0:
+            continue
+        bd, bs = pl["bm"]  # GLOBAL per-block (max_docid, max_score):
+        # looked up by docid, so full-list block boundaries stay valid
+        # on any docid slice of the list
+        views.append({
+            "d": d[s:e], "s": pl["scores"][s:e], "bd": bd, "bs": bs,
+            "tub": float(pl["tub"]), "qpos": pl["qpos"], "p": 0,
+        })
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -docid)
+    threshold = -np.inf
+
+    def push(score: float, docid: int) -> None:
+        nonlocal threshold
+        item = (score, -docid)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+            if len(heap) == k:
+                threshold = heap[0][0]
+        elif score > heap[0][0]:  # strict > (DAAT.java:191)
+            heapq.heapreplace(heap, item)
+            threshold = heap[0][0]
+
+    active = [v for v in views if v["p"] < len(v["d"])]
+    while active:
+        active.sort(key=lambda v: int(v["d"][v["p"]]))
+        # pivot: first prefix whose Σ global bound beats the threshold
+        acc, pivot = 0.0, -1
+        for j, v in enumerate(active):
+            acc += v["tub"]
+            if acc > threshold:
+                pivot = j
+                break
+        if pivot < 0:
+            break  # all remaining lists together cannot beat the k-th
+        pd = int(active[pivot]["d"][active[pivot]["p"]])
+        # extend the pivot over every later list already AT pd: those
+        # lists contribute to pd's score too, so the block-max check
+        # below must include them — summing only the θ-crossing prefix
+        # would under-bound pd and skip a true top-k doc (the prefix
+        # bound covers docs STRICTLY BELOW pd, not pd itself)
+        while (
+            pivot + 1 < len(active)
+            and int(active[pivot + 1]["d"][active[pivot + 1]["p"]]) == pd
+        ):
+            pivot += 1
+        # block-max re-check at pd over the pivot prefix; collect each
+        # contributing block's end docid for the failed-check skip
+        bsum, bends = 0.0, []
+        for v in active[: pivot + 1]:
+            bi = int(np.searchsorted(v["bd"], pd))
+            if bi < len(v["bd"]):  # else: no posting >= pd, bound 0
+                bsum += float(v["bs"][bi])
+                bends.append(int(v["bd"][bi]))
+        if bsum > threshold:
+            if int(active[0]["d"][active[0]["p"]]) == pd:
+                # aligned: every list at docid pd contributes (the
+                # sorted run may extend past the pivot) — exact score,
+                # folded in QUERY-TERM order like DAAT
+                contribs = []
+                for v in active:
+                    p = v["p"]
+                    if p < len(v["d"]) and int(v["d"][p]) == pd:
+                        contribs.append((v["qpos"], float(v["s"][p])))
+                        v["p"] = p + 1
+                    elif int(v["d"][p]) > pd:
+                        break
+                contribs.sort()
+                exact = 0.0
+                for _, c in contribs:
+                    exact += c
+                if round_decimals is not None:
+                    exact = round(exact, round_decimals)
+                push(exact, pd)
+            else:
+                # not aligned: nextGEQ the largest-bound list still
+                # BEHIND pd up to pd (never one already at pd — that
+                # would jump past its contribution)
+                behind = [
+                    v for v in active[:pivot]
+                    if int(v["d"][v["p"]]) < pd
+                ]
+                adv = max(behind, key=lambda v: v["tub"])
+                adv["p"] += int(np.searchsorted(adv["d"][adv["p"]:], pd))
+        else:
+            # nothing in [pd, min block end] can beat the threshold:
+            # skip past the nearest block boundary, capped at the next
+            # unaccounted list's cursor (its bound was not in bsum, so
+            # docs at or past it must be re-pivoted, not skipped)
+            nxt = (min(bends) if bends else pd) + 1
+            if pivot + 1 < len(active):
+                nxt = min(
+                    nxt, int(active[pivot + 1]["d"][active[pivot + 1]["p"]])
+                )
+            nxt = max(nxt, pd + 1)  # progress even on degenerate bounds
+            adv = max(active[: pivot + 1], key=lambda v: v["tub"])
+            adv["p"] += int(np.searchsorted(adv["d"][adv["p"]:], nxt))
+        active = [v for v in active if v["p"] < len(v["d"])]
+    return [(sc, -nd) for sc, nd in heap]
+
+
 def _serve(
     index,
     text: str,
@@ -392,6 +531,7 @@ def _serve(
     local_threshold: int,
     fetch_budget: int | None,
     block_max: bool = False,
+    algo: str = "maxscore",
 ):
     """Shared serving core. Returns ``("fallback", None)`` when the
     relational path must run (flag off, or Σdf over the fetch budget),
@@ -400,6 +540,9 @@ def _serve(
     spark = index.spark
     stats = index.stats
     stem_stop = index.manifest["flags"]["stem_stop"]
+    if algo == "bmw" and conjunctive:
+        raise ValueError("BMW is a disjunctive evaluator; "
+                         "use MaxScore for conjunctive queries")
     if not index.manifest["flags"].get("max_score", True):
         return "fallback", None
     avgdl = stats["total_doc_len"] / stats["n_docs"]
@@ -470,7 +613,8 @@ def _serve(
     # the index's blocks table (stored at build, Ding & Suel's BMM
     # layout); recompute from the fetched arrays only when the index has
     # none (in-memory frames / legacy index).
-    bm_stored = _fetch_block_bounds(index, present, scoring) if block_max else {}
+    need_bm = block_max or algo == "bmw"  # BMW cannot run without bounds
+    bm_stored = _fetch_block_bounds(index, present, scoring) if need_bm else {}
     lists = []
     for t in present:
         docids, tfs, dls = lru[t]
@@ -480,7 +624,7 @@ def _serve(
         scores = _score_arrays(scoring, idf, tfs, dls, avgdl)
         tub = float(r["tub_bm25_exact"] if scoring == "bm25" else r["tub_tfidf"])
         bm = None
-        if block_max:
+        if need_bm:
             bm = bm_stored.get(t) or _block_bounds(docids, scores)
         lists.append(
             {
@@ -502,11 +646,12 @@ def _serve(
         (int(pl["docids"][-1]) for pl in lists if len(pl["docids"])),
         default=0,
     )
+    slice_fn = _bmw_slice if algo == "bmw" else _maxscore_slice
     total_postings = sum(len(pl["docids"]) for pl in lists)
     if total_postings <= local_threshold and num_slices is None:
         # serving fast path: the lists are already on the driver (the
         # reference's single-node posture) — score here, no Spark jobs
-        local = _maxscore_slice(
+        local = slice_fn(
             lists, 1, max_docid + 1, k, conjunctive, round_decimals
         )
     else:
@@ -521,7 +666,7 @@ def _serve(
 
         def run_slice(rng):
             lo, hi = rng
-            return _maxscore_slice(
+            return slice_fn(
                 bc.value, lo, hi, k, conjunctive, round_decimals
             )
 
@@ -544,6 +689,7 @@ def maxscore_topk_rows(
     local_threshold: int = 2_000_000,
     fetch_budget: int | None = None,
     block_max: bool = False,
+    algo: str = "maxscore",
 ) -> list[tuple[int, str, float]]:
     """Warm serving surface: top-k as plain (docid, pid, score) rows,
     ZERO Spark jobs on a warmed index with cached posting lists — the
@@ -553,7 +699,7 @@ def maxscore_topk_rows(
     df-guard or the max_score flag demands it."""
     kind, top = _serve(
         index, text, k, conjunctive, scoring, num_slices, round_decimals,
-        local_threshold, fetch_budget, block_max,
+        local_threshold, fetch_budget, block_max, algo,
     )
     if kind == "fallback":
         from .query import top_k
@@ -589,6 +735,7 @@ def maxscore_topk(
     local_threshold: int = 2_000_000,
     fetch_budget: int | None = None,
     block_max: bool = False,
+    algo: str = "maxscore",
 ) -> DataFrame:
     """Top-k via broadcast posting lists + partition-parallel MaxScore.
 
@@ -613,7 +760,7 @@ def maxscore_topk(
     spark = index.spark
     kind, top = _serve(
         index, text, k, conjunctive, scoring, num_slices, round_decimals,
-        local_threshold, fetch_budget, block_max,
+        local_threshold, fetch_budget, block_max, algo,
     )
     if kind == "fallback":
         from .query import top_k
@@ -637,4 +784,57 @@ def maxscore_topk(
         .select("docid", "pid", "score")
         .coalesce(1)
         .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
+    )
+
+
+def bmw_topk(
+    index,
+    text: str,
+    k: int = 10,
+    scoring: str = "bm25",
+    num_slices: int | None = None,
+    round_decimals: int | None = None,
+    local_threshold: int = 2_000_000,
+    fetch_budget: int | None = None,
+) -> DataFrame:
+    """Block-Max WAND top-k (Broder et al. CIKM 2003 + Ding & Suel
+    SIGIR 2011, Algorithm 3) — the second dynamic-pruning strategy
+    next to MaxScore, sharing the whole serving stack (lexicon memo,
+    posting/bounds LRUs, df fetch guard, partition slicing, relational
+    fallback). Where MaxScore splits lists into essential and
+    non-essential once per threshold change, WAND re-derives a pivot
+    from the lists' CURRENT docids every step, so it skips deeper into
+    long lists when the threshold is high; the block-max re-check then
+    skips whole √df blocks without touching a posting. Both consume
+    the same stored blocks/ bounds, and both are rank-identical to
+    exact DAAT (strict-> heap, score DESC / docid ASC ties) because
+    the bounds are provable (tub_bm25_exact, per-block maxima from the
+    serving scorer's own kernel). Disjunctive only, by construction —
+    conjunctive queries raise (MaxScore covers them)."""
+    return maxscore_topk(
+        index, text, k=k, conjunctive=False, scoring=scoring,
+        num_slices=num_slices, round_decimals=round_decimals,
+        local_threshold=local_threshold, fetch_budget=fetch_budget,
+        block_max=True, algo="bmw",
+    )
+
+
+def bmw_topk_rows(
+    index,
+    text: str,
+    k: int = 10,
+    scoring: str = "bm25",
+    num_slices: int | None = None,
+    round_decimals: int | None = None,
+    local_threshold: int = 2_000_000,
+    fetch_budget: int | None = None,
+) -> list[tuple[int, str, float]]:
+    """``bmw_topk`` without the DataFrame wrapper — the warm serving
+    path (zero Spark jobs on a warmed index), mirroring
+    ``maxscore_topk_rows``."""
+    return maxscore_topk_rows(
+        index, text, k=k, conjunctive=False, scoring=scoring,
+        num_slices=num_slices, round_decimals=round_decimals,
+        local_threshold=local_threshold, fetch_budget=fetch_budget,
+        block_max=True, algo="bmw",
     )

@@ -133,3 +133,125 @@ def test_fixture_goldens_through_maxscore(spark):
         (0.9874180905628003, 8), (0.8061799739838872, 2),
         (0.30150996489407533, 6),
     }
+
+
+# ---- Block-Max WAND (Broder CIKM 2003 + Ding & Suel SIGIR 2011) --------
+#
+# Same contract as MaxScore: a dynamic-pruning device with PROVABLE
+# bounds must be rank-identical to exact DAAT — any divergence is a
+# bug, not a trade (mirrors the reference's DAAT == MaxScore goldens).
+
+BMW_QUERIES = [
+    ("spark join fast", "bm25"),
+    ("hash merge", "tfidf"),
+    ("table scan agg row key", "bm25"),
+    ("nonexistent spark", "bm25"),   # disjunctive ignores missing terms
+    ("slow query merge sort data value", "tfidf"),
+]
+
+
+def _bmw_rows(df):
+    return [
+        (r["docid"], r["pid"], round(r["score"], 9)) for r in df.collect()
+    ]
+
+
+@pytest.mark.parametrize("text,scoring", BMW_QUERIES)
+def test_bmw_equals_daat(rand_index, text, scoring):
+    from searchengine_spark.operators.maxscore import bmw_topk
+
+    for k in (3, 10, 1000):
+        daat = _bmw_rows(
+            top_k(rand_index, text, k=k, scoring=scoring, round_decimals=9)
+        )
+        bmw = _bmw_rows(
+            bmw_topk(rand_index, text, k=k, scoring=scoring, round_decimals=9)
+        )
+        assert daat == bmw, (text, scoring, k)
+
+
+def test_bmw_round_before_cut(rand_index):
+    """Coarse rounding manufactures k-boundary ties; BMW must decide
+    selection on ROUNDED scores like top_k and the SQL oracles, and
+    pruning with unrounded bounds against the rounded threshold must
+    stay safe (round() is monotone, threshold is a fixed point)."""
+    from searchengine_spark.operators.maxscore import bmw_topk
+
+    for q in ("spark join", "hash table scan", "merge sort batch spark"):
+        for decimals in (2, 3):
+            daat = _bmw_rows(top_k(rand_index, q, k=10, round_decimals=decimals))
+            bmw = _bmw_rows(bmw_topk(rand_index, q, k=10, round_decimals=decimals))
+            assert daat == bmw, (q, decimals)
+
+
+def test_bmw_sliced_path(rand_index):
+    """The partition-parallel slice path (each slice runs BMW over a
+    docid range, global merge keeps score DESC / docid ASC) must match
+    the single-slice driver path and exact DAAT."""
+    from searchengine_spark.operators.maxscore import bmw_topk
+
+    daat = _bmw_rows(top_k(rand_index, "spark join fast", k=10, round_decimals=9))
+    bmw = _bmw_rows(
+        bmw_topk(rand_index, "spark join fast", k=10, round_decimals=9,
+                 num_slices=7)
+    )
+    assert daat == bmw
+
+
+def test_bmw_conjunctive_raises(rand_index):
+    from searchengine_spark.operators.maxscore import maxscore_topk
+
+    with pytest.raises(ValueError, match="disjunctive"):
+        maxscore_topk(rand_index, "spark join", conjunctive=True, algo="bmw")
+
+
+def test_bmw_real_blocks_big_df(spark):
+    """df >= 1024 (BLOCK_DF_THRESHOLD) so lists split into real √df
+    blocks and the block-max skip actually jumps block boundaries."""
+    from searchengine_spark.operators.maxscore import bmw_topk
+
+    rng = random.Random(31)
+    rows = [
+        (f"b{idx:04d}", " ".join(rng.choices(VOCAB, k=rng.randint(3, 40))))
+        for idx in range(1500)
+    ]
+    docs = spark.createDataFrame(rows, "pid string, content string")
+    big = build_index_frames(docs, stem_stop=False)
+    assert big.lexicon.filter("df >= 1024").count() > 0
+    for q in ("spark join", "merge sort batch spark",
+              "slow query window agg stream"):
+        for scoring in ("bm25", "tfidf"):
+            daat = _bmw_rows(top_k(big, q, k=10, scoring=scoring,
+                                   round_decimals=9))
+            bmw = _bmw_rows(bmw_topk(big, q, k=10, scoring=scoring,
+                                     round_decimals=9))
+            assert daat == bmw, (q, scoring)
+
+
+def test_bmw_stored_bounds_disk_index(spark, tmp_path):
+    """On a disk index the bounds come from the MATERIALIZED blocks/
+    table (stage 4 bmax columns), not a recompute — BMW through the
+    stored-bounds path must still equal exact DAAT, and the fetch must
+    actually hit the stored table."""
+    from searchengine_spark.operators.indexer import IndexConfig, build_index
+    from searchengine_spark.operators.maxscore import (
+        _fetch_block_bounds,
+        bmw_topk,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (f"s{idx:04d}", " ".join(rng.choices(VOCAB, k=rng.randint(3, 30))))
+        for idx in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "pid string, content string")
+    idx = build_index(
+        docs, str(tmp_path / "bmwidx"),
+        IndexConfig(stem_stop=False, compression=False),
+    )
+    stored = _fetch_block_bounds(idx, ["spark", "join"], "bm25")
+    assert set(stored) == {"spark", "join"}  # materialized bmax consumed
+    for q in ("spark join fast", "hash merge sort"):
+        daat = _bmw_rows(top_k(idx, q, k=10, round_decimals=9))
+        bmw = _bmw_rows(bmw_topk(idx, q, k=10, round_decimals=9))
+        assert daat == bmw, q
