@@ -4,11 +4,15 @@ evaluation harness (QueryPerformancesMain).
 
   python -m searchengine_spark.cli build --input SRC --index-dir DIR
       [--no-stem-stop] [--no-compression] [--no-maxscore] [--partitions N]
+      [--positions] [--fields]
   python -m searchengine_spark.cli query --index-dir DIR "terms..."
-      [-k 10] [--conjunctive] [--scoring bm25|tfidf] [--maxscore]
+      [-k 10] [--conjunctive] [--scoring bm25|tfidf]
+      [--maxscore [--blockmax] | --bmw]
   python -m searchengine_spark.cli repl --index-dir DIR   # warm session
   python -m searchengine_spark.cli eval --index-dir DIR --queries TSV
       --output DIR [-k 100] [--scoring bm25]
+  python -m searchengine_spark.cli optimize --index-dir DIR  # blocks +
+      packed artifacts for a streamed handoff (maintenance window)
 
 ``build --input`` accepts a parquet dir, a catalog (Iceberg) table
 name, a ``pid\\ttext`` TSV (MS MARCO collection.tsv, the reference's
@@ -52,6 +56,7 @@ def cmd_build(args: argparse.Namespace) -> int:
             compression=not args.no_compression,
             max_score=not args.no_maxscore,
             positions=args.positions,
+            fields=args.fields,
             num_partitions=args.partitions,
             overwrite=args.overwrite,
         ),
@@ -70,11 +75,19 @@ def cmd_query(args: argparse.Namespace) -> int:
     spark = _spark("se-query")
     idx = InvertedIndex.load(spark, args.index_dir)
     t0 = time.time()
-    if args.maxscore:
+    if args.bmw:
+        from .operators.maxscore import bmw_topk
+
+        if args.conjunctive:
+            raise SystemExit("--bmw is disjunctive-only; "
+                             "use --maxscore for conjunctive queries")
+        res = bmw_topk(idx, args.text, k=args.k, scoring=args.scoring)
+    elif args.maxscore:
         from .operators.maxscore import maxscore_topk
 
         res = maxscore_topk(idx, args.text, k=args.k,
-                            conjunctive=args.conjunctive, scoring=args.scoring)
+                            conjunctive=args.conjunctive, scoring=args.scoring,
+                            block_max=args.blockmax)
     else:
         res = top_k(idx, args.text, k=args.k,
                     conjunctive=args.conjunctive, scoring=args.scoring)
@@ -83,6 +96,30 @@ def cmd_query(args: argparse.Namespace) -> int:
     for r in rows:
         print(f"{r['pid']}\t{r['score']:.10f}")
     print(f"({len(rows)} results in {ms:.0f} ms)")
+    return 0
+
+
+def cmd_optimize(args: argparse.Namespace) -> int:
+    """Background optimize (segment-then-optimize completion): derive
+    blocks/ + packed postings/positions for a servable dir that lacks
+    them — typically a streaming ``compact_to_dir`` handoff — so a
+    long-lived streamed index gains block-max pruning and compression
+    without a batch rebuild. Run in a maintenance window (or on a
+    snapshot copy): the in-place rewrites are crash-safe but not
+    reader-transparent (see operators.indexer.optimize_index)."""
+    from .operators.indexer import optimize_index
+
+    spark = _spark("se-optimize")
+    t0 = time.time()
+    idx = optimize_index(spark, args.index_dir,
+                         num_partitions=args.partitions)
+    total = time.time() - t0
+    stages = {
+        k: v["sec"]
+        for k, v in idx.manifest.get("stages", {}).items()
+        if k.startswith("optimize_")
+    }
+    print(f"optimized index in {total:.1f}s: {stages}")
     return 0
 
 
@@ -244,6 +281,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--partitions", type=int, default=None)
     b.add_argument("--positions", action="store_true",
                    help="also build the positional postings stage")
+    b.add_argument("--fields", action="store_true",
+                   help="also build the BM25F field-postings stage")
     b.add_argument("--overwrite", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -254,7 +293,21 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--conjunctive", "-c", action="store_true")
     q.add_argument("--scoring", choices=["bm25", "tfidf"], default="bm25")
     q.add_argument("--maxscore", action="store_true")
+    q.add_argument("--blockmax", action="store_true",
+                   help="with --maxscore: BMM per-block bailouts over "
+                        "the stored blocks/ bounds")
+    q.add_argument("--bmw", action="store_true",
+                   help="Block-Max WAND pruning (disjunctive only)")
     q.set_defaults(fn=cmd_query)
+
+    o = sub.add_parser(
+        "optimize",
+        help="derive blocks/ + packed artifacts for a servable dir "
+             "(background optimize of a streamed handoff)",
+    )
+    o.add_argument("--index-dir", required=True)
+    o.add_argument("--partitions", type=int, default=None)
+    o.set_defaults(fn=cmd_optimize)
 
     e = sub.add_parser("eval", help="batch TREC evaluation")
     e.add_argument("--index-dir", required=True)

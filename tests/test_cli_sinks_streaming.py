@@ -20,6 +20,8 @@ def built(tmp_path_factory, spark):
             "build",
             "--input", "/root/testdata/sf0.001/documents.parquet",
             "--index-dir", str(root / "idx"),
+            "--positions",
+            "--fields",
             "--overwrite",
         ]
     )
@@ -30,7 +32,8 @@ def built(tmp_path_factory, spark):
 def test_cli_build_artifacts(built):
     assert (built / "manifest.json").exists()
     assert (built / "indexerStatistics.tsv").exists()
-    for sub in ("doc_stats", "postings", "lexicon", "blocks", "postings_packed"):
+    for sub in ("doc_stats", "postings", "lexicon", "blocks",
+                "postings_packed", "positions_packed", "field_postings"):
         assert (built / sub / "_SUCCESS").exists(), sub
 
 
@@ -48,6 +51,46 @@ def test_cli_query_maxscore_matches(built, capsys):
               "--maxscore"])
     ms = capsys.readouterr().out.splitlines()[:-1]
     assert daat == ms and len(daat) == 5
+
+
+def test_cli_query_bmw_matches(built, capsys):
+    """--bmw (Block-Max WAND) is rank-identical to exact DAAT."""
+    cli.main(["query", "--index-dir", str(built), "table scan fast", "-k", "5"])
+    daat = capsys.readouterr().out.splitlines()[:-1]
+    cli.main(["query", "--index-dir", str(built), "table scan fast", "-k", "5",
+              "--bmw"])
+    bmw = capsys.readouterr().out.splitlines()[:-1]
+    assert daat == bmw and len(bmw) == 5
+
+
+def test_cli_query_bmw_conjunctive_rejected(built):
+    with pytest.raises(SystemExit):
+        cli.main(["query", "--index-dir", str(built), "table scan",
+                  "--bmw", "--conjunctive"])
+
+
+def test_cli_query_blockmax_matches(built, capsys):
+    """--maxscore --blockmax (BMM bailouts over stored blocks/ bounds)
+    is rank-identical to exact DAAT."""
+    cli.main(["query", "--index-dir", str(built), "spark join fast", "-k", "5"])
+    daat = capsys.readouterr().out.splitlines()[:-1]
+    cli.main(["query", "--index-dir", str(built), "spark join fast", "-k", "5",
+              "--maxscore", "--blockmax"])
+    bmm = capsys.readouterr().out.splitlines()[:-1]
+    assert daat == bmm and len(bmm) == 5
+
+
+def test_cli_optimize_idempotent_on_full_build(built, capsys):
+    """`optimize` wiring: on an already-complete compression build every
+    per-artifact resume check hits, so the command is a cheap no-op that
+    reports zero optimize stages and leaves the index servable."""
+    rc = cli.main(["optimize", "--index-dir", str(built)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "optimized index in" in out
+    rc = cli.main(["query", "--index-dir", str(built), "spark join",
+                   "-k", "3", "--maxscore", "--blockmax"])
+    assert rc == 0
 
 
 def test_cli_eval_trec(built, tmp_path, capsys):
