@@ -442,9 +442,28 @@ def _bmw_slice(
             heapq.heapreplace(heap, item)
             threshold = heap[0][0]
 
-    active = [v for v in views if v["p"] < len(v["d"])]
+    # Hot-loop layout: the kernel runs one Python iteration per pivot,
+    # so per-iteration numpy SCALAR access is the cost driver (profiled:
+    # the sort key's d[p] reads + 2-3 scalar searchsorted block lookups
+    # per pivot were ~70% of warm BMW latency). Each view caches its
+    # current docid as a plain int (`cur`, maintained on every cursor
+    # move) and its block arrays as Python lists (√df entries — tiny),
+    # so the loop is pure-Python bisect/itemgetter; numpy is kept ONLY
+    # for the O(log n) nextGEQ jumps into the big docid arrays.
+    from bisect import bisect_left
+    from operator import itemgetter
+
+    for v in views:
+        v["n"] = len(v["d"])
+        v["cur"] = int(v["d"][0])
+        v["bdl"] = np.asarray(v["bd"]).tolist()
+        v["bsl"] = np.asarray(v["bs"]).tolist()
+
+    active = list(views)
+    by_cur = itemgetter("cur")
+    by_tub = itemgetter("tub")
     while active:
-        active.sort(key=lambda v: int(v["d"][v["p"]]))
+        active.sort(key=by_cur)
         # pivot: first prefix whose Σ global bound beats the threshold
         acc, pivot = 0.0, -1
         for j, v in enumerate(active):
@@ -454,38 +473,41 @@ def _bmw_slice(
                 break
         if pivot < 0:
             break  # all remaining lists together cannot beat the k-th
-        pd = int(active[pivot]["d"][active[pivot]["p"]])
+        pd = active[pivot]["cur"]
         # extend the pivot over every later list already AT pd: those
         # lists contribute to pd's score too, so the block-max check
         # below must include them — summing only the θ-crossing prefix
         # would under-bound pd and skip a true top-k doc (the prefix
         # bound covers docs STRICTLY BELOW pd, not pd itself)
-        while (
-            pivot + 1 < len(active)
-            and int(active[pivot + 1]["d"][active[pivot + 1]["p"]]) == pd
-        ):
+        while pivot + 1 < len(active) and active[pivot + 1]["cur"] == pd:
             pivot += 1
         # block-max re-check at pd over the pivot prefix; collect each
         # contributing block's end docid for the failed-check skip
         bsum, bends = 0.0, []
         for v in active[: pivot + 1]:
-            bi = int(np.searchsorted(v["bd"], pd))
-            if bi < len(v["bd"]):  # else: no posting >= pd, bound 0
-                bsum += float(v["bs"][bi])
-                bends.append(int(v["bd"][bi]))
+            bdl = v["bdl"]
+            bi = bisect_left(bdl, pd)
+            if bi < len(bdl):  # else: no posting >= pd, bound 0
+                bsum += v["bsl"][bi]
+                bends.append(bdl[bi])
+        exhausted = False
         if bsum > threshold:
-            if int(active[0]["d"][active[0]["p"]]) == pd:
+            if active[0]["cur"] == pd:
                 # aligned: every list at docid pd contributes (the
                 # sorted run may extend past the pivot) — exact score,
                 # folded in QUERY-TERM order like DAAT
                 contribs = []
                 for v in active:
-                    p = v["p"]
-                    if p < len(v["d"]) and int(v["d"][p]) == pd:
-                        contribs.append((v["qpos"], float(v["s"][p])))
-                        v["p"] = p + 1
-                    elif int(v["d"][p]) > pd:
+                    if v["cur"] != pd:  # sorted: the rest are > pd
                         break
+                    p = v["p"]
+                    contribs.append((v["qpos"], float(v["s"][p])))
+                    p += 1
+                    v["p"] = p
+                    if p < v["n"]:
+                        v["cur"] = int(v["d"][p])
+                    else:
+                        exhausted = True
                 contribs.sort()
                 exact = 0.0
                 for _, c in contribs:
@@ -497,12 +519,14 @@ def _bmw_slice(
                 # not aligned: nextGEQ the largest-bound list still
                 # BEHIND pd up to pd (never one already at pd — that
                 # would jump past its contribution)
-                behind = [
-                    v for v in active[:pivot]
-                    if int(v["d"][v["p"]]) < pd
-                ]
-                adv = max(behind, key=lambda v: v["tub"])
-                adv["p"] += int(np.searchsorted(adv["d"][adv["p"]:], pd))
+                behind = [v for v in active[:pivot] if v["cur"] < pd]
+                adv = max(behind, key=by_tub)
+                p = adv["p"] + int(np.searchsorted(adv["d"][adv["p"]:], pd))
+                adv["p"] = p
+                if p < adv["n"]:
+                    adv["cur"] = int(adv["d"][p])
+                else:
+                    exhausted = True
         else:
             # nothing in [pd, min block end] can beat the threshold:
             # skip past the nearest block boundary, capped at the next
@@ -510,13 +534,17 @@ def _bmw_slice(
             # docs at or past it must be re-pivoted, not skipped)
             nxt = (min(bends) if bends else pd) + 1
             if pivot + 1 < len(active):
-                nxt = min(
-                    nxt, int(active[pivot + 1]["d"][active[pivot + 1]["p"]])
-                )
+                nxt = min(nxt, active[pivot + 1]["cur"])
             nxt = max(nxt, pd + 1)  # progress even on degenerate bounds
-            adv = max(active[: pivot + 1], key=lambda v: v["tub"])
-            adv["p"] += int(np.searchsorted(adv["d"][adv["p"]:], nxt))
-        active = [v for v in active if v["p"] < len(v["d"])]
+            adv = max(active[: pivot + 1], key=by_tub)
+            p = adv["p"] + int(np.searchsorted(adv["d"][adv["p"]:], nxt))
+            adv["p"] = p
+            if p < adv["n"]:
+                adv["cur"] = int(adv["d"][p])
+            else:
+                exhausted = True
+        if exhausted:
+            active = [v for v in active if v["p"] < v["n"]]
     return [(sc, -nd) for sc, nd in heap]
 
 

@@ -255,3 +255,134 @@ def test_bmw_stored_bounds_disk_index(spark, tmp_path):
         daat = _bmw_rows(top_k(idx, q, k=10, round_decimals=9))
         bmw = _bmw_rows(bmw_topk(idx, q, k=10, round_decimals=9))
         assert daat == bmw, q
+
+
+# ---------------------------------------------------------------------------
+# Kernel property test: the pruning evaluators vs a brute-force scorer
+# ---------------------------------------------------------------------------
+# Spark-free hammer over adversarial synthetic posting lists (random
+# alignment patterns, 1-4-doc blocks so skips land ON boundaries, ties
+# manufactured by rounding, docid-range slices): _bmw_slice and
+# _maxscore_slice (with and without block bounds) must equal exact
+# brute-force top-k under the engine's order (score DESC, docid ASC,
+# strict-> heap == first-maximizer ties, contributions folded in
+# query-term order).
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _kernel_lists(draw):
+    n_lists = draw(st.integers(1, 5))
+    lists = []
+    for q in range(n_lists):
+        docids = sorted(
+            draw(st.sets(st.integers(1, 60), min_size=1, max_size=40))
+        )
+        scores = [
+            draw(
+                st.floats(
+                    0.01, 10, allow_nan=False, allow_infinity=False
+                )
+            )
+            for _ in docids
+        ]
+        bd, bs = [], []
+        i = 0
+        while i < len(docids):  # blocks of width 1-4: boundary-heavy
+            j = min(i + draw(st.integers(1, 4)), len(docids))
+            bd.append(docids[j - 1])
+            bs.append(max(scores[i:j]))
+            i = j
+        lists.append(
+            {
+                "docids": np.asarray(docids, dtype=np.int64),
+                "scores": np.asarray(scores, dtype=np.float64),
+                "bm": (
+                    np.asarray(bd, dtype=np.int64),
+                    np.asarray(bs, dtype=np.float64),
+                ),
+                "tub": float(max(scores)),  # tightest bound = most pruning
+                "qpos": q,
+            }
+        )
+    return lists
+
+
+def _brute_topk(lists, lo, hi, k, round_decimals):
+    per_doc: dict[int, list[tuple[int, float]]] = {}
+    for pl in lists:
+        for d, s in zip(pl["docids"], pl["scores"]):
+            if lo <= int(d) < hi:
+                per_doc.setdefault(int(d), []).append(
+                    (pl["qpos"], float(s))
+                )
+    scored = []
+    for d, contribs in per_doc.items():
+        contribs.sort()
+        x = 0.0
+        for _, v in contribs:
+            x += v
+        if round_decimals is not None:
+            x = round(x, round_decimals)
+        scored.append((x, d))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return scored[:k]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lists=_kernel_lists(),
+    k=st.integers(1, 12),
+    bounds=st.tuples(st.integers(1, 61), st.integers(0, 61)),
+    round_decimals=st.sampled_from([None, 1, 2, 9]),
+)
+def test_kernel_pruning_equals_bruteforce(lists, k, bounds, round_decimals):
+    from searchengine_spark.operators.maxscore import (
+        _bmw_slice,
+        _maxscore_slice,
+    )
+
+    lo = bounds[0]
+    hi = lo + bounds[1]
+    want = _brute_topk(lists, lo, hi, k, round_decimals)
+
+    def got(res):
+        return sorted(res, key=lambda t: (-t[0], t[1]))
+
+    assert got(_bmw_slice(lists, lo, hi, k,
+                          round_decimals=round_decimals)) == want
+    assert got(_maxscore_slice(lists, lo, hi, k, False,
+                               round_decimals=round_decimals)) == want
+    bare = [dict(pl, bm=None) for pl in lists]  # pure-TUB MaxScore path
+    assert got(_maxscore_slice(bare, lo, hi, k, False,
+                               round_decimals=round_decimals)) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(lists=_kernel_lists(), k=st.integers(1, 10))
+def test_kernel_conjunctive_maxscore_equals_bruteforce(lists, k):
+    from searchengine_spark.operators.maxscore import _maxscore_slice
+
+    n_lists = len(lists)
+    per_doc: dict[int, list[tuple[int, float]]] = {}
+    for pl in lists:
+        for d, s in zip(pl["docids"], pl["scores"]):
+            per_doc.setdefault(int(d), []).append((pl["qpos"], float(s)))
+    scored = []
+    for d, contribs in per_doc.items():
+        if len(contribs) == n_lists:  # every query term present
+            contribs.sort()
+            x = 0.0
+            for _, v in contribs:
+                x += v
+            scored.append((x, d))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = scored[:k]
+    got = sorted(
+        _maxscore_slice(lists, 1, 61, k, conjunctive=True),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert got == want
