@@ -43,6 +43,8 @@ using block-max indexes" (SIGIR 2011) — block-max skipping.
 from __future__ import annotations
 
 import heapq
+from bisect import bisect_left
+from operator import itemgetter
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -264,15 +266,42 @@ def _maxscore_slice(
     of round(), so exact <= threshold implies round(exact) <= threshold
     — a pruned candidate can never strictly beat the rounded threshold.
     """
+    # Hot-loop layout mirrors _bmw_slice: one Python iteration per
+    # candidate, so numpy SCALAR reads are the cost driver. Current
+    # docids are cached as plain ints (INF = exhausted), block bounds
+    # as small Python lists for bisect, suffix sums as a list; numpy
+    # is kept only for the O(log n) nextGEQ jumps into the big arrays.
+    INF = 1 << 62
     n = len(lists)
     views = []
+    lens = []
+    cur = []
     for pl in lists:
         d = pl["docids"]
         s, e = np.searchsorted(d, lo), np.searchsorted(d, hi)
-        views.append((d[s:e], pl["scores"][s:e]))
+        dv, sv = d[s:e], pl["scores"][s:e]
+        views.append((dv, sv))
+        lens.append(len(dv))
+        cur.append(int(dv[0]) if len(dv) else INF)
     qpos = [pl["qpos"] for pl in lists]
-    tubs = np.array([pl["tub"] for pl in lists])
-    suffix_tub = np.cumsum(tubs)  # suffix_tub[i] = sum of tubs[0..i]
+    tubs = [float(pl["tub"]) for pl in lists]
+    suffix_tub = []  # suffix_tub[i] = sum of tubs[0..i]
+    _acc = 0.0
+    for t in tubs:
+        _acc += t
+        suffix_tub.append(_acc)
+    # per-list block bounds as Python lists + a prefix-any table so the
+    # per-candidate use_bm decision is one indexed read
+    bml = []
+    bm_any = [False]
+    for pl in lists:
+        bm = pl.get("bm")
+        bml.append(
+            None
+            if bm is None
+            else (np.asarray(bm[0]).tolist(), np.asarray(bm[1]).tolist())
+        )
+        bm_any.append(bm_any[-1] or bml[-1] is not None)
 
     heap: list[tuple[float, int]] = []  # min-heap of (score, -docid)
     threshold = -np.inf
@@ -299,14 +328,12 @@ def _maxscore_slice(
 
     while True:
         # next candidate = min current docid across essential lists
-        cand = None
+        cand = INF
         for i in range(first_essential, n):
-            d, _ = views[i]
-            if pos[i] < len(d):
-                v = int(d[pos[i]])
-                if cand is None or v < cand:
-                    cand = v
-        if cand is None:
+            v = cur[i]
+            if v < cand:
+                cand = v
+        if cand == INF:
             break
 
         # contributions collected per-list, summed at push time in
@@ -318,13 +345,16 @@ def _maxscore_slice(
         matched = 0
         # essential lists at the candidate
         for i in range(first_essential, n):
-            d, s = views[i]
-            p = pos[i]
-            if p < len(d) and int(d[p]) == cand:
-                score += float(s[p])
-                contribs.append((qpos[i], float(s[p])))
+            if cur[i] == cand:
+                d, s = views[i]
+                p = pos[i]
+                c = float(s[p])
+                score += c
+                contribs.append((qpos[i], c))
                 matched += 1
-                pos[i] = p + 1
+                p += 1
+                pos[i] = p
+                cur[i] = int(d[p]) if p < lens[i] else INF
 
         # non-essential probes, highest tub first, with early bailout
         # (MaxScore.java:142-161). With block-max structures (Ding &
@@ -332,34 +362,39 @@ def _maxscore_slice(
         # shallow list — a bound <= the global TUB, so strictly more
         # pruning with identical results.
         viable = True
-        use_bm = not conjunctive and first_essential > 0 and any(
-            lists[i].get("bm") is not None for i in range(first_essential)
+        use_bm = (
+            not conjunctive and first_essential > 0
+            and bm_any[first_essential]
         )
         if use_bm:
             bm_vals = []
-            for i in range(first_essential):
-                bm = lists[i].get("bm")
-                if bm is None:
-                    bm_vals.append(float(tubs[i]))
-                else:
-                    bd, bs = bm
-                    j = int(np.searchsorted(bd, cand))
-                    bm_vals.append(float(bs[j]) if j < len(bd) else 0.0)
             rem = 0.0
-            for v in bm_vals:
-                rem += v
+            for i in range(first_essential):
+                b = bml[i]
+                if b is None:
+                    x = tubs[i]
+                else:
+                    bdl, bsl = b
+                    j = bisect_left(bdl, cand)
+                    x = bsl[j] if j < len(bdl) else 0.0
+                bm_vals.append(x)
+                rem += x
         for i in range(first_essential - 1, -1, -1):
             if not conjunctive:
                 bound = score + (rem if use_bm else suffix_tub[i])
                 if bound <= threshold:
                     viable = False
                     break
-            d, s = views[i]
-            p = pos[i] + np.searchsorted(d[pos[i] :], cand)  # nextGEQ
-            pos[i] = int(p)
-            if p < len(d) and int(d[p]) == cand:
-                score += float(s[p])
-                contribs.append((qpos[i], float(s[p])))
+            if cur[i] < cand:  # nextGEQ only when actually behind
+                d, s = views[i]
+                p = pos[i]
+                p += int(np.searchsorted(d[p:], cand))
+                pos[i] = p
+                cur[i] = int(d[p]) if p < lens[i] else INF
+            if cur[i] == cand:
+                c = float(views[i][1][pos[i]])
+                score += c
+                contribs.append((qpos[i], c))
                 matched += 1
             elif conjunctive:
                 viable = False
@@ -450,9 +485,6 @@ def _bmw_slice(
     # move) and its block arrays as Python lists (√df entries — tiny),
     # so the loop is pure-Python bisect/itemgetter; numpy is kept ONLY
     # for the O(log n) nextGEQ jumps into the big docid arrays.
-    from bisect import bisect_left
-    from operator import itemgetter
-
     for v in views:
         v["n"] = len(v["d"])
         v["cur"] = int(v["d"][0])
