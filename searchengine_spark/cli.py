@@ -203,7 +203,7 @@ def cmd_repl(args: argparse.Namespace) -> int:
     posting-list LRU (CacheTests.java:36-131's warm posture), so repeat
     terms answer with zero Spark jobs. Directives: ``:k N``,
     ``:conj on|off``, ``:scoring bm25|tfidf``, ``:maxscore on|off``,
-    ``:quit``."""
+    ``:algo maxscore|bmw``, ``:blockmax on|off``, ``:quit``."""
     from .operators.indexer import InvertedIndex
     from .operators.maxscore import maxscore_topk_rows
     from .operators.query import top_k
@@ -213,6 +213,7 @@ def cmd_repl(args: argparse.Namespace) -> int:
     idx = InvertedIndex.load(spark, args.index_dir).warm()
     print(f"index warmed in {time.time()-t0:.1f}s: {idx.stats}", flush=True)
     k, conjunctive, scoring, use_maxscore = args.k, False, args.scoring, True
+    algo, blockmax = "maxscore", False
     stream = open(args.input) if args.input else sys.stdin
     for line in stream:
         line = line.strip()
@@ -238,16 +239,29 @@ def cmd_repl(args: argparse.Namespace) -> int:
                     print(f"bad :scoring value (want bm25|tfidf): {parts[1]}")
             elif parts[0] == "maxscore" and len(parts) > 1:
                 use_maxscore = parts[1] == "on"
+            elif parts[0] == "algo" and len(parts) > 1:
+                if parts[1] in ("maxscore", "bmw"):
+                    algo = parts[1]
+                else:
+                    print(f"bad :algo value (want maxscore|bmw): {parts[1]}")
+            elif parts[0] == "blockmax" and len(parts) > 1:
+                blockmax = parts[1] == "on"
             else:
                 print(f"unknown directive: {line}")
             continue
         t1 = time.time()
         if use_maxscore:
             # warm path: plain rows, zero Spark jobs on cached terms
+            if algo == "bmw" and conjunctive:
+                # report and continue — a bad combination must not
+                # kill the interactive session
+                print(":algo bmw is disjunctive-only; :conj off first")
+                continue
             rows = [
                 {"pid": p, "score": s}
                 for _, p, s in maxscore_topk_rows(
-                    idx, line, k=k, conjunctive=conjunctive, scoring=scoring
+                    idx, line, k=k, conjunctive=conjunctive, scoring=scoring,
+                    algo=algo, block_max=blockmax,
                 )
             ]
         else:

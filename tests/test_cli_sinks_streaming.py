@@ -93,6 +93,39 @@ def test_cli_optimize_idempotent_on_full_build(built, capsys):
     assert rc == 0
 
 
+def test_cli_repl_directives(built, tmp_path, capsys):
+    """repl session over --input: every pruning strategy directive
+    (:algo bmw, :blockmax on, :maxscore off -> relational DAAT) returns
+    rank-identical pages; the rejected bmw+conj combination reports and
+    continues instead of killing the session."""
+    import re
+
+    qfile = tmp_path / "session.txt"
+    qfile.write_text(
+        "table scan fast\n"
+        ":algo bmw\n"
+        "table scan fast\n"
+        ":blockmax on\n"
+        ":algo maxscore\n"
+        "table scan fast\n"
+        ":conj on\n"
+        ":algo bmw\n"
+        "table scan fast\n"
+        ":conj off\n"
+        ":maxscore off\n"
+        "table scan fast\n"
+        ":quit\n"
+    )
+    rc = cli.main(["repl", "--index-dir", str(built), "-k", "5",
+                   "--input", str(qfile)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    pages = re.findall(r"((?:\S+\t\d+\.\d{10}\n)+)\(5 results", out)
+    assert len(pages) == 4  # warm ms, bmw, bmm, relational daat
+    assert len(set(pages)) == 1  # all strategies rank-identical
+    assert "disjunctive-only" in out
+
+
 def test_cli_eval_trec(built, tmp_path, capsys):
     qfile = tmp_path / "queries.tsv"
     qfile.write_text("q1\tspark join\nq2\thash table\n")
