@@ -251,11 +251,18 @@ def main() -> None:
             lambda: cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count()
         )
 
+        from searchengine_spark.operators.similarity import (
+            release_caches as release_sim_caches,
+        )
+
         # cells sized ~N/64: the per-cell pair join costs sum |cell|^2,
         # so the centroid count must grow with N (the standard IVF
-        # trade; the gate keeps the 16-cell oracle configuration)
+        # trade; the gate keeps the 16-cell oracle configuration).
+        # semdedup caches its ranked frame internally — release it
+        # between reps so rep 2 repeats the full work (cold protocol)
         timings["semdedup"] = best_of(
-            lambda: semdedup(emb, n_centroids=64).filter("keep").count()
+            lambda: semdedup(emb, n_centroids=64).filter("keep").count(),
+            release_sim_caches,
         )
 
         # IVF-PQ ANN: quantized within-cell scan + exact re-rank of the
@@ -267,10 +274,6 @@ def main() -> None:
                 emb, k=1, n_centroids=16, rerank=4
             ).count()
         )
-        from searchengine_spark.operators.similarity import (
-            release_caches as release_sim_caches,
-        )
-
         release_sim_caches()
 
         # positional index build (stage 6 only — the base stages resume)
@@ -309,8 +312,15 @@ def main() -> None:
         # merge on (term, docid), ordered fold, k-row pid join
         from searchengine_spark.operators.query import bm25f_top_k
 
+        def _drop_field_len_memo():
+            # the derived avg-field-len is memoized on the index object;
+            # drop it so rep 2 pays the same aggregate (cold protocol)
+            if hasattr(idx_disk, "_avg_field_len_memo"):
+                del idx_disk._avg_field_len_memo
+
         timings["q_bm25f"] = best_of(
-            lambda: bm25f_top_k(idx_disk, "spark join fast", k=10).count()
+            lambda: bm25f_top_k(idx_disk, "spark join fast", k=10).count(),
+            _drop_field_len_memo,
         )
 
         # composed code-curation pipeline (quality -> dedup -> split)

@@ -72,6 +72,12 @@ def cmd_query(args: argparse.Namespace) -> int:
     from .operators.indexer import InvertedIndex
     from .operators.query import top_k
 
+    if args.bmw and args.maxscore:
+        raise SystemExit("--bmw and --maxscore are different pruning "
+                         "strategies; pick one")
+    if args.blockmax and not args.maxscore:
+        raise SystemExit("--blockmax modifies --maxscore (BMW carries "
+                         "its own block bounds); add --maxscore")
     spark = _spark("se-query")
     idx = InvertedIndex.load(spark, args.index_dir)
     t0 = time.time()

@@ -303,25 +303,31 @@ def _write_servable(
         else:
             pos.write.mode("overwrite").parquet(str(out / "positions"))
             flags["positions_packed"] = False
+    avg_field_len = None
     if flags.get("fields", False):
         # BM25F filename-field postings are a narrow projection of the
         # compacted doc_stats (pid path tokens) — same derivation as
         # batch build stage 7, same (term, docid) range layout, so
         # fielded_top_k serves a streamed code corpus unchanged
-        from ..operators.indexer import field_postings_frame
+        from ..operators.indexer import avg_field_len_of, field_postings_frame
 
+        handoff_ds = spark.read.parquet(str(out / "doc_stats"))
         (
-            field_postings_frame(
-                spark.read.parquet(str(out / "doc_stats"))
-            )
+            field_postings_frame(handoff_ds)
             .repartitionByRange(_n_eff(spark), "term", "docid")
             .sortWithinPartitions("term", "docid")
             .write.mode("overwrite")
             .parquet(str(out / "field_postings"))
         )
+        # stored like batch stage 7's manifest stat (indexer.py) so a
+        # new session's first bm25f_top_k reads the scalar instead of
+        # recomputing a corpus-wide aggregate
+        avg_field_len = avg_field_len_of(handoff_ds)
     n_terms = spark.read.parquet(str(out / "lexicon")).count()
     stats = dict(frames.stats)
     stats["n_terms"] = int(n_terms)
+    if avg_field_len is not None:
+        stats["avg_field_len"] = avg_field_len
     manifest = {
         "flags": flags,
         "stages": {"compacted_from": index_dir},

@@ -69,6 +69,18 @@ def test_cli_query_bmw_conjunctive_rejected(built):
                   "--bmw", "--conjunctive"])
 
 
+def test_cli_query_contradictory_flag_combos_rejected(built):
+    """--blockmax without --maxscore (it would silently run plain DAAT)
+    and --bmw with --maxscore (two different pruning strategies) are
+    rejected instead of silently picking one."""
+    with pytest.raises(SystemExit):
+        cli.main(["query", "--index-dir", str(built), "table scan",
+                  "--blockmax"])
+    with pytest.raises(SystemExit):
+        cli.main(["query", "--index-dir", str(built), "table scan",
+                  "--bmw", "--maxscore"])
+
+
 def test_cli_query_blockmax_matches(built, capsys):
     """--maxscore --blockmax (BMM bailouts over stored blocks/ bounds)
     is rank-identical to exact DAAT."""

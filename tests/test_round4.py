@@ -8,6 +8,7 @@ documented 18.6 s vs 1.6 s trap on 32 cores at 100k docs).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from searchengine_spark.operators.indexer import (
@@ -771,6 +772,12 @@ def test_streaming_fields_serve_fielded_search(spark, tmp_path):
         docs,
         str(tmp_path / "batch"),
         IndexConfig(stem_stop=False, compression=False, fields=True),
+    )
+    # the streamed handoff stores the avg-field-len scalar like batch
+    # stage 7 does, so a fresh session's first bm25f_top_k reads it
+    # instead of recomputing a corpus-wide aggregate
+    assert loaded.manifest["stats"]["avg_field_len"] == pytest.approx(
+        ref.manifest["stats"]["avg_field_len"]
     )
     q = "spark join fast"
     got = {
