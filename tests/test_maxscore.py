@@ -359,6 +359,13 @@ def test_kernel_pruning_equals_bruteforce(lists, k, bounds, round_decimals):
     bare = [dict(pl, bm=None) for pl in lists]  # pure-TUB MaxScore path
     assert got(_maxscore_slice(bare, lo, hi, k, False,
                                round_decimals=round_decimals)) == want
+    # mixed presence: alternate lists lose their bounds, exercising the
+    # per-list tub fallback inside the block-max probe (bml[i] is None)
+    mixed = [
+        dict(pl, bm=None) if i % 2 else pl for i, pl in enumerate(lists)
+    ]
+    assert got(_maxscore_slice(mixed, lo, hi, k, False,
+                               round_decimals=round_decimals)) == want
 
 
 @settings(max_examples=60, deadline=None)
