@@ -146,6 +146,16 @@ def main() -> None:
                 bmw_topk_rows(idx, text, k=10)
                 bmw_lat.append((time.time() - tq) * 1000)
 
+        # vectorized in-memory DAAT over the same warmed lists (the
+        # dense-query escape hatch: numpy accumulate instead of a
+        # Python cursor loop) — rank-identical, no pruning
+        daat_lat: list[float] = []
+        for _ in range(5):
+            for text in warm_qs:
+                tq = time.time()
+                maxscore_topk_rows(idx, text, k=10, algo="daat")
+                daat_lat.append((time.time() - tq) * 1000)
+
         # batched evaluation throughput: 50 queries in ONE job
         # (QueryPerformancesMain's 6,980-query shape)
         from searchengine_spark.operators.query import batch_top_k
@@ -353,6 +363,7 @@ def main() -> None:
             "query_p50_ms": round(statistics.median(lat) * 1000, 1),
             "query_warm_p50_ms": round(statistics.median(warm_lat), 2),
             "query_warm_bmw_p50_ms": round(statistics.median(bmw_lat), 2),
+            "query_warm_daat_p50_ms": round(statistics.median(daat_lat), 2),
             "batch_queries_per_sec": round(50 / batch_sec, 1),
             "batch500_queries_per_sec": round(500 / batch500_sec, 1),
             "batch7000_queries_per_sec": round(7000 / batch7k_sec, 1),

@@ -209,7 +209,7 @@ def cmd_repl(args: argparse.Namespace) -> int:
     posting-list LRU (CacheTests.java:36-131's warm posture), so repeat
     terms answer with zero Spark jobs. Directives: ``:k N``,
     ``:conj on|off``, ``:scoring bm25|tfidf``, ``:maxscore on|off``,
-    ``:algo maxscore|bmw``, ``:blockmax on|off``, ``:quit``."""
+    ``:algo maxscore|bmw|daat``, ``:blockmax on|off``, ``:quit``."""
     from .operators.indexer import InvertedIndex
     from .operators.maxscore import maxscore_topk_rows
     from .operators.query import top_k
@@ -246,10 +246,12 @@ def cmd_repl(args: argparse.Namespace) -> int:
             elif parts[0] == "maxscore" and len(parts) > 1:
                 use_maxscore = parts[1] == "on"
             elif parts[0] == "algo" and len(parts) > 1:
-                if parts[1] in ("maxscore", "bmw"):
+                if parts[1] in ("maxscore", "bmw", "daat"):
                     algo = parts[1]
                 else:
-                    print(f"bad :algo value (want maxscore|bmw): {parts[1]}")
+                    print(
+                        f"bad :algo value (want maxscore|bmw|daat): {parts[1]}"
+                    )
             elif parts[0] == "blockmax" and len(parts) > 1:
                 blockmax = parts[1] == "on"
             else:

@@ -60,6 +60,35 @@ def test_maxscore_k_larger_than_matches(rand_index):
     assert [r["docid"] for r in daat] == [r["docid"] for r in ms]
 
 
+@pytest.mark.parametrize("text,conj,scoring", QUERIES)
+def test_vectorized_daat_equals_relational_daat(rand_index, text, conj, scoring):
+    """algo='daat' (the numpy-vectorized in-memory kernel, the
+    dense-query escape hatch) is rank-identical to the relational
+    exact DAAT on every fixture, conjunctive included."""
+    daat = [
+        (r["docid"], r["pid"], r["score"])
+        for r in top_k(
+            rand_index, text, k=10, conjunctive=conj, scoring=scoring
+        ).collect()
+    ]
+    vec = [
+        (r["docid"], r["pid"], r["score"])
+        for r in maxscore_topk(
+            rand_index, text, k=10, conjunctive=conj, scoring=scoring,
+            algo="daat",
+        ).collect()
+    ]
+    assert len(daat) == len(vec)
+    for (d1, p1, s1), (d2, p2, s2) in zip(daat, vec):
+        assert d1 == d2 and p1 == p2
+        assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_unknown_algo_rejected(rand_index):
+    with pytest.raises(ValueError, match="unknown serving algo"):
+        maxscore_topk(rand_index, "spark", k=5, algo="wand2")
+
+
 def test_fixture_goldens_through_maxscore(spark):
     """QueryProcesserTest's exact golden doubles must survive the
     pruning scorer too (the reference asserts DAAT == MaxScore on the
@@ -342,6 +371,7 @@ def _brute_topk(lists, lo, hi, k, round_decimals):
 def test_kernel_pruning_equals_bruteforce(lists, k, bounds, round_decimals):
     from searchengine_spark.operators.maxscore import (
         _bmw_slice,
+        _daat_vec_slice,
         _maxscore_slice,
     )
 
@@ -354,6 +384,8 @@ def test_kernel_pruning_equals_bruteforce(lists, k, bounds, round_decimals):
 
     assert got(_bmw_slice(lists, lo, hi, k,
                           round_decimals=round_decimals)) == want
+    assert got(_daat_vec_slice(lists, lo, hi, k, False,
+                               round_decimals=round_decimals)) == want
     assert got(_maxscore_slice(lists, lo, hi, k, False,
                                round_decimals=round_decimals)) == want
     bare = [dict(pl, bm=None) for pl in lists]  # pure-TUB MaxScore path
@@ -393,3 +425,10 @@ def test_kernel_conjunctive_maxscore_equals_bruteforce(lists, k):
         key=lambda t: (-t[0], t[1]),
     )
     assert got == want
+    from searchengine_spark.operators.maxscore import _daat_vec_slice
+
+    got_vec = sorted(
+        _daat_vec_slice(lists, 1, 61, k, conjunctive=True),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert got_vec == want
