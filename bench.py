@@ -204,6 +204,18 @@ def main() -> None:
         batch7k_sec = time.time() - tq
         timings["trec_batch_7000q"] = round(batch7k_sec, 3)
 
+        # warm batch path over the same 7,000 queries: ONE union
+        # posting fetch (df-guarded, falls back to the relational
+        # batch above the budget) + vectorized per-query scoring on
+        # the driver — per-query rank-identical to batch_top_k
+        from searchengine_spark.operators.maxscore import batch_top_k_rows
+
+        tq = time.time()
+        n_rows_warm = len(batch_top_k_rows(idx, batch_qs7k, k=10))
+        batch7k_warm_sec = time.time() - tq
+        assert n_rows_warm > 0
+        timings["trec_batch_7000q_warm"] = round(batch7k_warm_sec, 3)
+
         # training-data pipeline ops at the same sf — each line is the
         # BEST OF 2 identical runs (same treatment as build_index_20x
         # above and for the same reason: external load waves on the
@@ -367,6 +379,9 @@ def main() -> None:
             "batch_queries_per_sec": round(50 / batch_sec, 1),
             "batch500_queries_per_sec": round(500 / batch500_sec, 1),
             "batch7000_queries_per_sec": round(7000 / batch7k_sec, 1),
+            "batch7000_warm_queries_per_sec": round(
+                7000 / batch7k_warm_sec, 1
+            ),
         }
         # two-cluster-size evidence, measured separately by
         # tools/scaling_run.py (local-cluster executor processes —

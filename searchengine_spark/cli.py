@@ -132,18 +132,19 @@ def cmd_optimize(args: argparse.Namespace) -> int:
 def cmd_eval(args: argparse.Namespace) -> int:
     """Batch TREC evaluation (QueryPerformancesMain.java:100-136).
 
-    The run file is produced by ONE batched job (query.batch_top_k —
-    every query joined against the postings in the same shuffle); a
-    per-query loop would pay a ~0.5 s job-scheduling floor per query
-    (an hour of overhead on the 6,980-query MS MARCO dev set). The
-    reference's per-query latency report (mean ± stddev,
+    The run file is produced by the warm batch path
+    (maxscore.batch_top_k_rows: ONE union posting fetch + vectorized
+    per-query scoring, delegating to the distributed relational
+    query.batch_top_k when Σdf over the union exceeds the driver's
+    fetch budget); a per-query loop would pay a ~0.5 s job-scheduling
+    floor per query (an hour of overhead on the 6,980-query MS MARCO
+    dev set). The reference's per-query latency report (mean ± stddev,
     QueryPerformancesMain.java:130-136) is measured afterwards on the
     warmed serving path over ``--latency-sample`` queries."""
     import statistics
 
     from .operators.indexer import InvertedIndex
-    from .operators.maxscore import maxscore_topk_rows
-    from .operators.query import batch_top_k
+    from .operators.maxscore import batch_top_k_rows, maxscore_topk_rows
     from .sources.sinks import write_trec
 
     spark = _spark("se-eval")
@@ -156,7 +157,13 @@ def cmd_eval(args: argparse.Namespace) -> int:
                 qid, text = line.split("\t", 1)
                 queries[qid] = text
     t0 = time.time()
-    allq = batch_top_k(idx, queries, k=args.k, scoring=args.scoring)
+    # warm batch path: one union posting fetch + vectorized per-query
+    # scoring; self-delegates to the distributed relational batch when
+    # the union's Σdf exceeds the driver's fetch budget
+    rows = batch_top_k_rows(idx, queries, k=args.k, scoring=args.scoring)
+    allq = spark.createDataFrame(
+        rows, "qid string, docid long, pid string, score double, rank long"
+    )
     write_trec(allq.select("qid", "docid", "pid", "score"),
                args.output, run_id=args.run_id)
     batch_sec = time.time() - t0

@@ -927,6 +927,143 @@ def maxscore_topk(
     )
 
 
+def batch_top_k_rows(
+    index,
+    queries: dict[str, str],
+    k: int = 10,
+    conjunctive: bool = False,
+    scoring: str = "bm25",
+    round_decimals: int | None = None,
+    fetch_budget: int | None = None,
+) -> list[tuple[str, int, str, float, int]]:
+    """Warm batch evaluation: every query's result from driver-side
+    vectorized scoring, with ONE Spark job for the union of all
+    queries' posting lists (and one k·|Q|-row pid join when the doc
+    map is not warmed) instead of the relational batch's
+    scan-join-aggregate-window pipeline. Returns (qid, docid, pid,
+    score, rank) rows, rank 1..k per qid — per-query rank-identical to
+    ``query.batch_top_k`` (pytest-pinned).
+
+    The scale posture mirrors ``maxscore_topk_rows``: the lexicon
+    already knows Σdf over the union of distinct terms, and when that
+    exceeds the driver's fetch budget (a 7,000-query batch over a
+    10^12-doc corpus) the function never fetches anything and
+    delegates to the fully-distributed ``batch_top_k`` — so this is
+    the small-batch/warm-index fast path, not a replacement. Per-term
+    score arrays are computed once and SHARED across the queries that
+    contain the term (the batch analog of the postings LRU; the
+    per-query LRU itself is left untouched to avoid churning warm
+    single-query terms out).
+    """
+    from .query import BATCH_PUSHDOWN_TERM_LIMIT, batch_top_k
+
+    spark = index.spark
+    stats = index.stats
+    stem_stop = index.manifest["flags"]["stem_stop"]
+    avgdl = stats["total_doc_len"] / stats["n_docs"]
+    if fetch_budget is None:
+        fetch_budget = _default_fetch_budget(spark)
+
+    q_terms = {qid: query_terms(text, stem_stop) for qid, text in queries.items()}
+    distinct = sorted({t for ts in q_terms.values() for t in ts})
+    if not distinct:
+        return []
+
+    lex_cols = ["term", "df", "idf", "tub_tfidf", "tub_bm25_exact"]
+    lmap = getattr(index, "lexicon_map", None)
+    if lmap is not None:
+        by_term = {t: lmap[t] for t in distinct if t in lmap}
+    else:
+        lex = index.lexicon
+        if len(distinct) <= BATCH_PUSHDOWN_TERM_LIMIT:
+            lex = lex.filter(F.col("term").isin(distinct))
+        else:
+            tframe = spark.createDataFrame(
+                [(t,) for t in distinct], "term string"
+            )
+            lex = lex.join(F.broadcast(tframe), "term")
+        by_term = {r["term"]: r for r in lex.select(*lex_cols).collect()}
+
+    present = [t for t in distinct if t in by_term]
+    total_df = sum(int(by_term[t]["df"]) for t in present)
+    if total_df > fetch_budget:
+        return [
+            (r["qid"], r["docid"], r["pid"], r["score"], r["rank"])
+            for r in batch_top_k(
+                index, queries, k=k, conjunctive=conjunctive,
+                scoring=scoring, round_decimals=round_decimals,
+            ).collect()
+        ]
+
+    # one fetch for every term not already warm in the single-query LRU
+    lru = getattr(index, "_postings_lru", None) or {}
+    arrays: dict[str, tuple] = {t: lru[t] for t in present if t in lru}
+    to_fetch = [t for t in present if t not in arrays]
+    if to_fetch:
+        postings = index.postings
+        if len(to_fetch) <= BATCH_PUSHDOWN_TERM_LIMIT:
+            postings = postings.filter(F.col("term").isin(to_fetch))
+        else:
+            tframe = spark.createDataFrame(
+                [(t,) for t in to_fetch], "term string"
+            )
+            postings = postings.join(F.broadcast(tframe), "term")
+        pdf = postings.select("term", "docid", "tf", "doc_len").toPandas()
+        for t, sub in pdf.groupby("term"):
+            sub = sub.sort_values("docid")
+            arrays[t] = (
+                sub["docid"].to_numpy(np.int64),
+                sub["tf"].to_numpy(),
+                sub["doc_len"].to_numpy(),
+            )
+
+    # per-term score arrays shared across queries
+    scores: dict[str, np.ndarray] = {}
+    for t in present:
+        if t not in arrays:
+            continue  # df>0 in lexicon implies postings, but stay safe
+        docids, tfs, dls = arrays[t]
+        scores[t] = _score_arrays(
+            scoring, float(by_term[t]["idf"]), tfs, dls, avgdl
+        )
+
+    out: list[tuple[str, int, str, float, int]] = []
+    HI = 1 << 62
+    for qid in queries:
+        terms = q_terms[qid]
+        if not terms:
+            continue
+        if conjunctive and any(t not in scores for t in terms):
+            continue  # missing-term short-circuit
+        lists = [
+            {"docids": arrays[t][0], "scores": scores[t], "qpos": i}
+            for i, t in enumerate(terms)
+            if t in scores
+        ]
+        if not lists:
+            continue
+        for rank, (sc, d) in enumerate(
+            _daat_vec_slice(lists, 0, HI, k, conjunctive, round_decimals), 1
+        ):
+            out.append((qid, int(d), None, float(sc), rank))
+
+    pid_map = getattr(index, "pid_map", None)
+    if pid_map is not None:
+        return [(q, d, pid_map[d], s, r) for q, d, _, s, r in out]
+    if not out:
+        return []
+    hits = spark.createDataFrame(
+        [(d,) for d in sorted({d for _, d, _, _, _ in out})], "docid long"
+    )
+    resolved = {
+        r["docid"]: r["pid"]
+        for r in F.broadcast(hits)
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .collect()
+    }
+    return [(q, d, resolved[d], s, r) for q, d, _, s, r in out]
+
+
 def bmw_topk(
     index,
     text: str,

@@ -89,6 +89,48 @@ def test_unknown_algo_rejected(rand_index):
         maxscore_topk(rand_index, "spark", k=5, algo="wand2")
 
 
+@pytest.mark.parametrize("conj", [False, True])
+def test_batch_top_k_rows_equals_relational_batch(rand_index, conj):
+    """Warm batch evaluation (one union-fetch + vectorized per-query
+    scoring) is per-query rank-identical to the relational
+    batch_top_k, including conjunctive short-circuits, out-of-vocab
+    terms, and empty queries; forcing the fetch budget to 1 posting
+    exercises the fallback delegation and must change nothing."""
+    from searchengine_spark.operators.maxscore import batch_top_k_rows
+    from searchengine_spark.operators.query import batch_top_k
+
+    queries = {
+        "q1": "spark join fast",
+        "q2": "hash merge sort query",
+        "q3": "nonexistent spark",   # missing term
+        "q4": "zzz_all_missing",     # fully out-of-vocab
+        "q5": "",                    # empty after analysis
+        "q6": "table scan agg row key value data",
+    }
+    want = sorted(
+        (r["qid"], r["docid"], r["pid"], r["rank"])
+        for r in batch_top_k(rand_index, queries, k=7, conjunctive=conj).collect()
+    )
+    want_scores = {
+        (r["qid"], r["docid"]): r["score"]
+        for r in batch_top_k(rand_index, queries, k=7, conjunctive=conj).collect()
+    }
+    got_rows = batch_top_k_rows(rand_index, queries, k=7, conjunctive=conj)
+    got = sorted((q, d, p, r) for q, d, p, _, r in got_rows)
+    assert got == want
+    for q, d, _, s, _ in got_rows:
+        assert s == pytest.approx(want_scores[(q, d)], rel=1e-12)
+    # fallback: a 1-posting budget can never fetch — delegates to the
+    # relational batch and returns the same rows
+    fb = sorted(
+        (q, d, p, r)
+        for q, d, p, _, r in batch_top_k_rows(
+            rand_index, queries, k=7, conjunctive=conj, fetch_budget=1
+        )
+    )
+    assert fb == want
+
+
 def test_fixture_goldens_through_maxscore(spark):
     """QueryProcesserTest's exact golden doubles must survive the
     pruning scorer too (the reference asserts DAAT == MaxScore on the
