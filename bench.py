@@ -317,6 +317,17 @@ def main() -> None:
             ).count()
         )
 
+        # warm positional serving: the same phrase through the
+        # positions-LRU searchsorted kernel (zero Spark jobs once warm)
+        from searchengine_spark.operators.phrase import phrase_topk_rows
+
+        phrase_topk_rows(idx_disk, ["spark", "join"], k=10)
+        phrase_lat: list[float] = []
+        for _ in range(20):
+            tq = time.time()
+            phrase_topk_rows(idx_disk, ["spark", "join"], k=10)
+            phrase_lat.append((time.time() - tq) * 1000)
+
         # results-page composition: top-k + snippets, everything after
         # the top-k proportional to k (positions decoded for the k hit
         # docids only, rendering re-tokenizes only those docs)
@@ -344,6 +355,19 @@ def main() -> None:
             lambda: bm25f_top_k(idx_disk, "spark join fast", k=10).count(),
             _drop_field_len_memo,
         )
+
+        # warm fielded serving: same query through bm25f_topk_rows
+        # (LRU'd content/field arrays + vectorized kernel — zero Spark
+        # jobs once warm); first call pays the fetch, then p50 of 20
+        from searchengine_spark.operators.query import bm25f_topk_rows
+
+        idx_disk.warm()
+        bm25f_topk_rows(idx_disk, "spark join fast", k=10)
+        bm25f_lat: list[float] = []
+        for _ in range(20):
+            tq = time.time()
+            bm25f_topk_rows(idx_disk, "spark join fast", k=10)
+            bm25f_lat.append((time.time() - tq) * 1000)
 
         # composed code-curation pipeline (quality -> dedup -> split)
         # over the synthesized north-rule code table at the same sf
@@ -376,6 +400,12 @@ def main() -> None:
             "query_warm_p50_ms": round(statistics.median(warm_lat), 2),
             "query_warm_bmw_p50_ms": round(statistics.median(bmw_lat), 2),
             "query_warm_daat_p50_ms": round(statistics.median(daat_lat), 2),
+            "query_warm_bm25f_p50_ms": round(
+                statistics.median(bm25f_lat), 2
+            ),
+            "query_warm_phrase_p50_ms": round(
+                statistics.median(phrase_lat), 2
+            ),
             "batch_queries_per_sec": round(50 / batch_sec, 1),
             "batch500_queries_per_sec": round(500 / batch500_sec, 1),
             "batch7000_queries_per_sec": round(7000 / batch7k_sec, 1),

@@ -648,6 +648,44 @@ def _bmw_slice(
     return [(sc, -nd) for sc, nd in heap]
 
 
+def _ensure_postings_arrays(index, terms: list[str]):
+    """Ensure every term's raw posting arrays ``(docids, tfs, doc_lens)``
+    — docid-sorted — sit in the index's shared per-term LRU, fetching
+    the missing ones with ONE In-pushdown scan, and return the LRU.
+    The LRU mirrors the reference's 1000-entry Vocabulary cache
+    (Vocabulary.java:17, CacheTests): repeat terms skip the fetch job
+    entirely. Shared by the warm single-query kernels (``_serve``) and
+    the warm fielded kernel (``query.bm25f_topk_rows``); the batch
+    path keeps its own non-inserting read so a 7,000-query union can't
+    churn warm single-query terms out."""
+    lru = getattr(index, "_postings_lru", None)
+    if lru is None:
+        from collections import OrderedDict
+
+        lru = OrderedDict()
+        try:
+            index._postings_lru = lru
+        except AttributeError:
+            pass
+    to_fetch = [t for t in terms if t not in lru]
+    if to_fetch:
+        pdf = (
+            index.postings.filter(F.col("term").isin(to_fetch))
+            .select("term", "docid", "tf", "doc_len")
+            .toPandas()
+        )
+        for t in to_fetch:
+            sub = pdf[pdf["term"] == t].sort_values("docid")
+            lru[t] = (
+                sub["docid"].to_numpy(np.int64),
+                sub["tf"].to_numpy(),
+                sub["doc_len"].to_numpy(),
+            )
+            while len(lru) > 1000:  # reference LRU size (Vocabulary.java:17)
+                lru.popitem(last=False)
+    return lru
+
+
 def _serve(
     index,
     text: str,
@@ -715,31 +753,7 @@ def _serve(
     # A per-term LRU of raw posting arrays mirrors the reference's
     # 1000-entry Vocabulary cache (Vocabulary.java:17, CacheTests):
     # repeat terms skip the fetch job entirely.
-    lru = getattr(index, "_postings_lru", None)
-    if lru is None:
-        from collections import OrderedDict
-
-        lru = OrderedDict()
-        try:
-            index._postings_lru = lru
-        except AttributeError:
-            pass
-    to_fetch = [t for t in present if t not in lru]
-    if to_fetch:
-        pdf = (
-            index.postings.filter(F.col("term").isin(to_fetch))
-            .select("term", "docid", "tf", "doc_len")
-            .toPandas()
-        )
-        for t in to_fetch:
-            sub = pdf[pdf["term"] == t].sort_values("docid")
-            lru[t] = (
-                sub["docid"].to_numpy(np.int64),
-                sub["tf"].to_numpy(),
-                sub["doc_len"].to_numpy(),
-            )
-            while len(lru) > 1000:  # reference LRU size (Vocabulary.java:17)
-                lru.popitem(last=False)
+    lru = _ensure_postings_arrays(index, present)
     # block-max bounds: prefer the MATERIALIZED per-block max scores from
     # the index's blocks table (stored at build, Ding & Suel's BMM
     # layout); recompute from the fetched arrays only when the index has

@@ -335,6 +335,215 @@ def proximity_search_indexed(
     )
 
 
+def _ensure_positions_arrays(index, uniq: list[str]):
+    """Ensure every term's positional postings sit in the index's
+    per-term positions LRU as ``(docids sorted int64, aligned list of
+    position arrays)``, fetching the missing terms with ONE
+    term-pushdown scan (pushed below the gap-VB decode on packed
+    indexes via ``_served_positions``), and return the LRU — the
+    positional twin of the content-postings LRU (1000-entry eviction,
+    Vocabulary.java:17's cache posture). Entries hold FULL per-term
+    lists (never a query-dependent intersection) so any later query
+    can reuse them."""
+    import numpy as np
+
+    lru = getattr(index, "_positions_lru", None)
+    if lru is None:
+        from collections import OrderedDict
+
+        lru = OrderedDict()
+        try:
+            index._positions_lru = lru
+        except AttributeError:
+            pass
+    to_fetch = [t for t in uniq if t not in lru]
+    if to_fetch:
+        pdf = (
+            _served_positions(index, to_fetch)
+            .select("term", "docid", "positions")
+            .toPandas()
+        )
+        for t in to_fetch:
+            sub = pdf[pdf["term"] == t].sort_values("docid")
+            lru[t] = (
+                sub["docid"].to_numpy(np.int64),
+                [np.asarray(p, dtype=np.int64) for p in sub["positions"]],
+            )
+            while len(lru) > 1000:
+                lru.popitem(last=False)
+    return lru
+
+
+def _positions_volume_bound(rows: dict, uniq: list[str]) -> int:
+    """Upper bound on the positional postings a fetch of ``uniq``
+    would move to the driver, from lexicon stats only: Σ df·max_tf
+    (each of a term's df docs holds at most max_tf positions). The
+    positional analog of the content path's Σdf guard — the true
+    volume (collection term frequency) is not stored, so the guard
+    uses the provable bound and never fetches past the budget."""
+    return sum(int(rows[t]["df"]) * int(rows[t]["max_tf"]) for t in uniq)
+
+
+def _warm_positional_setup(index, terms: list[str], fetch_budget):
+    """Shared head of the warm phrase/proximity kernels: analyze
+    nothing (terms arrive analyzed, as in the relational surface),
+    resolve df/max_tf from the lexicon memo or a ≤|q|-row point
+    lookup, and apply the volume-bound fetch guard. Returns
+    ``(uniq, dfs, lru)`` or the string ``"missing"`` / ``"fallback"``."""
+    from .maxscore import _default_fetch_budget
+
+    uniq = list(dict.fromkeys(terms))
+    lmap = getattr(index, "lexicon_map", None)
+    if lmap is not None:
+        rows = {t: lmap[t] for t in uniq if t in lmap}
+    else:
+        rows = {
+            r["term"]: r
+            for r in index.lexicon.filter(F.col("term").isin(uniq))
+            .select("term", "df", "max_tf")
+            .collect()
+        }
+    if any(t not in rows for t in uniq):
+        return "missing"
+    if fetch_budget is None:
+        fetch_budget = _default_fetch_budget(index.spark)
+    if _positions_volume_bound(rows, uniq) > fetch_budget:
+        return "fallback"
+    dfs = {t: int(rows[t]["df"]) for t in uniq}
+    return uniq, dfs, _ensure_positions_arrays(index, uniq)
+
+
+def _doc_positions(lru_entry, docid: int):
+    """Position array of one docid inside a term's LRU entry (sorted
+    docids → one searchsorted)."""
+    import numpy as np
+
+    docids, plists = lru_entry
+    i = int(np.searchsorted(docids, docid))
+    return plists[i]
+
+
+def _intersect_candidates(lru, uniq: list[str], dfs: dict[str, int]):
+    """Docids containing EVERY uniq term — rarest-first pairwise
+    ``np.intersect1d`` so intermediates stay bounded by the smallest
+    list (the same bound the relational rarest-first joins enforce)."""
+    import numpy as np
+
+    cand = None
+    for t in sorted(uniq, key=lambda t: dfs[t]):
+        d = lru[t][0]
+        cand = d if cand is None else np.intersect1d(cand, d)
+        if len(cand) == 0:
+            break
+    return cand
+
+
+def phrase_topk_rows(
+    index,
+    terms: list[str],
+    k: int = 10,
+    fetch_budget: int | None = None,
+) -> list[tuple[int, int]]:
+    """Warm phrase serving: ``phrase_search_indexed`` as plain
+    (docid, phrase_tf) rows with ZERO Spark jobs on a warmed index —
+    per-term positional lists from the positions LRU, candidate docids
+    by rarest-first intersection, phrase starts by exact-membership
+    ``searchsorted`` over the anchor's positions (the same
+    shifted-containment predicate as the relational plan, anchored on
+    the rarest term). Rank phrase_tf DESC, docid ASC — rank-identical
+    to the DataFrame surface (pytest-pinned).
+
+    The fetch guard bounds the positional volume by Σ df·max_tf from
+    the lexicon (the true per-term position count is not stored);
+    past the budget the kernel never fetches and delegates to the
+    fully-distributed ``phrase_search_indexed``."""
+    import numpy as np
+
+    if not terms:
+        raise ValueError("empty phrase")
+    setup = _warm_positional_setup(index, terms, fetch_budget)
+    if setup == "missing":
+        return []
+    if setup == "fallback":
+        return [
+            (r["docid"], r["phrase_tf"])
+            for r in phrase_search_indexed(index, terms, k=k).collect()
+        ]
+    uniq, dfs, lru = setup
+    order = _phrase_join_order(terms, dfs)
+    anchor = order[0]
+    cand = _intersect_candidates(lru, uniq, dfs)
+    hits: list[tuple[int, int]] = []
+    for d in cand:
+        y = _doc_positions(lru[terms[anchor]], int(d))
+        mask = np.ones(len(y), dtype=bool)
+        for i in order[1:]:
+            p = _doc_positions(lru[terms[i]], int(d))
+            targets = y + (i - anchor)
+            idx = np.searchsorted(p, targets)
+            mask &= (idx < len(p)) & (
+                p[np.minimum(idx, len(p) - 1)] == targets
+            )
+            if not mask.any():
+                break
+        tf = int(mask.sum())
+        if tf > 0:
+            hits.append((int(d), tf))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+def proximity_topk_rows(
+    index,
+    terms: list[str],
+    window: int = 8,
+    k: int = 10,
+    fetch_budget: int | None = None,
+) -> list[tuple[int, int]]:
+    """Warm proximity serving: ``proximity_search_indexed`` as plain
+    (docid, prox_tf) rows — first-term anchor occurrences with every
+    other uniq term within ±window, the interval test one
+    ``searchsorted`` per (anchor occurrence, term) over the sorted
+    position arrays. Same LRU, fetch guard, and fallback posture as
+    :func:`phrase_topk_rows`; rank prox_tf DESC, docid ASC,
+    rank-identical to the DataFrame surface (pytest-pinned)."""
+    import numpy as np
+
+    if not terms:
+        raise ValueError("empty proximity query")
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    setup = _warm_positional_setup(index, terms, fetch_budget)
+    if setup == "missing":
+        return []
+    if setup == "fallback":
+        return [
+            (r["docid"], r["prox_tf"])
+            for r in proximity_search_indexed(
+                index, terms, window=window, k=k
+            ).collect()
+        ]
+    uniq, dfs, lru = setup
+    cand = _intersect_candidates(lru, uniq, dfs)
+    hits: list[tuple[int, int]] = []
+    for d in cand:
+        y = _doc_positions(lru[uniq[0]], int(d))
+        mask = np.ones(len(y), dtype=bool)
+        for t in uniq[1:]:
+            p = _doc_positions(lru[t], int(d))
+            lo = np.searchsorted(p, y - window)
+            mask &= (lo < len(p)) & (
+                p[np.minimum(lo, len(p) - 1)] <= y + window
+            )
+            if not mask.any():
+                break
+        tf = int(mask.sum())
+        if tf > 0:
+            hits.append((int(d), tf))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
 def snippet_windows(
     positions: DataFrame,
     doc_tokens: DataFrame,

@@ -28,6 +28,7 @@ operation order (Java and Spark both use binary64):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -597,3 +598,167 @@ def bm25f_top_k(
         .coalesce(1)
         .sortWithinPartitions(F.col("score").desc(), F.col("docid").asc())
     )
+
+
+def bm25f_topk_rows(
+    index: InvertedIndex,
+    text: str,
+    k: int = 10,
+    w_content: float = 1.0,
+    w_path: float = 2.0,
+    b_content: float = B,
+    b_path: float = B,
+    k1: float = K1,
+    round_decimals: int | None = None,
+    fetch_budget: int | None = None,
+) -> list[tuple[int, str, float]]:
+    """Warm fielded serving: ``bm25f_top_k`` as plain (docid, pid,
+    score) rows with ZERO Spark jobs on a warmed index — the same
+    interactive posture as ``maxscore_topk_rows``, extended to the
+    full Robertson model. Per-term content arrays come from the shared
+    postings LRU; per-term filename-field arrays from a second LRU
+    with the identical 1000-entry eviction; the per-term BM25F score
+    array is the union-docid merge of the two fields (numpy
+    searchsorted scatter — same per-row arithmetic and operand order
+    as the relational plan), and per-doc accumulation in query-term
+    order plus score DESC / docid ASC top-k reuse the vectorized DAAT
+    kernel, so the result is rank-identical to ``bm25f_top_k``
+    (pytest-pinned).
+
+    Scale posture: the lexicon df-guard rejects a fetch whose content
+    side alone exceeds the driver budget, and the field side — whose
+    df the lexicon does not know — is COUNTED first (one scalar job)
+    whenever any term is field-LRU-cold; either overrun delegates to
+    the fully-distributed ``bm25f_top_k``. Nothing larger than the
+    budget is ever moved to the driver."""
+    from .maxscore import (
+        _daat_vec_slice,
+        _default_fetch_budget,
+        _ensure_postings_arrays,
+    )
+
+    spark = index.spark
+    terms = query_terms(text, index.manifest["flags"]["stem_stop"])
+    if not terms:
+        return []
+
+    def _fallback() -> list[tuple[int, str, float]]:
+        df = bm25f_top_k(
+            index, text, k=k, w_content=w_content, w_path=w_path,
+            b_content=b_content, b_path=b_path, k1=k1,
+            round_decimals=round_decimals,
+        )
+        return [(r["docid"], r["pid"], r["score"]) for r in df.collect()]
+
+    lmap = getattr(index, "lexicon_map", None)
+    if lmap is not None:
+        by_term = {t: lmap[t] for t in terms if t in lmap}
+    else:
+        by_term = {
+            r["term"]: r
+            for r in index.lexicon.filter(F.col("term").isin(terms))
+            .select("term", "df", "idf")
+            .collect()
+        }
+    present = [t for t in terms if t in by_term]
+    if not present:
+        return []
+    if fetch_budget is None:
+        fetch_budget = _default_fetch_budget(spark)
+    content_df = sum(int(by_term[t]["df"]) for t in present)
+    if content_df > fetch_budget:
+        return _fallback()
+
+    # filename-field arrays (docids, tfs, field_lens) — second LRU
+    flru = getattr(index, "_field_postings_lru", None)
+    if flru is None:
+        from collections import OrderedDict
+
+        flru = OrderedDict()
+        try:
+            index._field_postings_lru = flru
+        except AttributeError:
+            pass
+    to_fetch = [t for t in present if t not in flru]
+    if to_fetch:
+        fp = (
+            index.field_postings
+            if index.manifest.get("flags", {}).get("fields", False)
+            else None
+        )
+        if fp is None or "tf" not in fp.columns:
+            from .indexer import field_postings_frame
+
+            fp = field_postings_frame(index.doc_stats)
+        fp = fp.filter(F.col("term").isin(to_fetch)).select(
+            "term", "docid", "tf", "field_len"
+        )
+        # the lexicon knows nothing about field dfs: count before
+        # moving anything (a scalar job), honoring the fetch budget
+        if content_df + fp.count() > fetch_budget:
+            return _fallback()
+        pdf = fp.toPandas()
+        for t in to_fetch:
+            sub = pdf[pdf["term"] == t].sort_values("docid")
+            flru[t] = (
+                sub["docid"].to_numpy(np.int64),
+                sub["tf"].to_numpy(),
+                sub["field_len"].to_numpy(),
+            )
+            while len(flru) > 1000:
+                flru.popitem(last=False)
+
+    lru = _ensure_postings_arrays(index, present)
+    stats = index.stats
+    avgdl = stats["total_doc_len"] / stats["n_docs"]
+    avgfl = _avg_field_len(index)
+
+    lists = []
+    for i, t in enumerate(present):
+        cd, ctf, cdl = lru[t]
+        lru.move_to_end(t)
+        fd, ftf, ffl = flru[t]
+        flru.move_to_end(t)
+        u = np.union1d(cd, fd)
+        if len(u) == 0:
+            continue
+        # tft = w_content * tfn_content + w_path * tfn_path, built in
+        # the relational plan's operand order (content part first)
+        tft = np.zeros(len(u), dtype=np.float64)
+        if len(cd):
+            tft[np.searchsorted(u, cd)] = w_content * (
+                ctf.astype(np.float64)
+                / ((1.0 - b_content)
+                   + b_content * cdl.astype(np.float64) / avgdl)
+            )
+        if len(fd):
+            pos = np.searchsorted(u, fd)
+            tft[pos] = tft[pos] + w_path * (
+                ftf.astype(np.float64)
+                / ((1.0 - b_path)
+                   + b_path * ffl.astype(np.float64) / avgfl)
+            )
+        idf = float(by_term[t]["idf"])
+        lists.append(
+            {"docids": u, "scores": idf * tft / (k1 + tft), "qpos": i}
+        )
+    if not lists:
+        return []
+    top = _daat_vec_slice(
+        lists, 0, 1 << 62, k, False, round_decimals
+    )
+    pid_map = getattr(index, "pid_map", None)
+    if pid_map is not None:
+        return [(int(d), pid_map[int(d)], float(s)) for s, d in top]
+    if not top:
+        return []
+    hits = spark.createDataFrame(
+        [(int(d),) for _, d in top], "docid long"
+    )
+    resolved = {
+        r["docid"]: r["pid"]
+        for r in F.broadcast(hits)
+        .join(index.doc_stats.select("docid", "pid"), "docid")
+        .collect()
+    }
+    return [(int(d), resolved[int(d)], float(s)) for s, d in top]

@@ -623,3 +623,173 @@ def test_avg_field_len_zero_stat_is_trusted():
         stats = {"avg_field_len": 0.0}
 
     assert _avg_field_len(_Stub()) == 0.0
+
+
+def test_bm25f_warm_rows_equal_relational(spark, tmp_path):
+    """Warm fielded serving (bm25f_topk_rows: LRU'd content + field
+    arrays, union-docid numpy merge, vectorized DAAT accumulation) is
+    rank- and score-identical to the relational bm25f_top_k on a
+    fields=True disk index — including path-only matches, non-default
+    weights/b's, out-of-vocab terms, and empty queries — answers with
+    ZERO Spark jobs once warm, and a 1-posting fetch budget delegates
+    to the relational plan with the same rows."""
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        build_index,
+        docs_from_code_table,
+    )
+    from searchengine_spark.operators.query import bm25f_top_k, bm25f_topk_rows
+
+    code = spark.createDataFrame(
+        [
+            ("r1", "alpha.py", "c1", "py", "data join merge"),
+            ("r1", "deep/nested/path/alpha/util.py", "c2", "py", "data merge"),
+            ("r2", "beta.py", "c3", "py", "alpha alpha data"),
+            ("r2", "gamma.py", "c4", "py", "data stream join"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    idx = build_index(
+        docs_from_code_table(code),
+        str(tmp_path / "fwidx"),
+        IndexConfig(stem_stop=False, compression=False, fields=True),
+    )
+    cases = [
+        ("alpha", {}),                      # path-only matches admitted
+        ("data join", {}),
+        ("alpha data merge", {"w_path": 3.0, "b_path": 0.4}),
+        ("zzz_missing alpha", {}),          # out-of-vocab term skipped
+        ("zzz_all_missing", {}),            # fully out-of-vocab
+        ("", {}),                           # empty query
+    ]
+    for text, kw in cases:
+        want = [
+            (r["docid"], r["pid"], r["score"])
+            for r in bm25f_top_k(idx, text, k=10, **kw).collect()
+        ]
+        got = bm25f_topk_rows(idx, text, k=10, **kw)
+        assert [(d, p) for d, p, _ in got] == [(d, p) for d, p, _ in want]
+        for (_, _, s1), (_, _, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+        # budget fallback: can never fetch — delegates, same rows
+        fb = bm25f_topk_rows(idx, text, k=10, fetch_budget=1, **kw)
+        assert [(d, p) for d, p, _ in fb] == [(d, p) for d, p, _ in want]
+    # on a WARMED index (lexicon/pid maps + LRU'd arrays — the serving
+    # posture) a repeat query runs zero Spark jobs
+    idx.warm()
+    bm25f_topk_rows(idx, "alpha data merge", k=10, w_path=3.0, b_path=0.4)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    warm = bm25f_topk_rows(idx, "alpha data merge", k=10,
+                           w_path=3.0, b_path=0.4)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
+    assert warm  # and it actually answered
+
+
+def test_bm25f_warm_rows_on_frames_index(spark):
+    """The warm fielded kernel also serves an in-memory frames index
+    (no persisted fields stage — the field arrays come through the
+    derived field_postings_frame path) with relational parity."""
+    from searchengine_spark.operators.frames import build_index_frames
+    from searchengine_spark.operators.indexer import docs_from_code_table
+    from searchengine_spark.operators.query import bm25f_top_k, bm25f_topk_rows
+
+    code = spark.createDataFrame(
+        [
+            ("r1", "alpha.py", "c1", "py", "data join merge"),
+            ("r2", "beta.py", "c2", "py", "alpha alpha data"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    frames = build_index_frames(docs_from_code_table(code), stem_stop=False)
+    want = [
+        (r["docid"], r["pid"], r["score"])
+        for r in bm25f_top_k(frames, "alpha data", k=10).collect()
+    ]
+    got = bm25f_topk_rows(frames, "alpha data", k=10)
+    assert [(d, p) for d, p, _ in got] == [(d, p) for d, p, _ in want]
+    for (_, _, s1), (_, _, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_warm_positional_kernels_equal_relational(spark, tmp_path):
+    """Warm phrase/proximity serving (positions LRU + searchsorted
+    membership/interval kernels) is rank- and tf-identical to the
+    relational phrase_search_indexed / proximity_search_indexed on a
+    PACKED positional index — including duplicate query terms, 3-term
+    phrases, missing terms, window=0 — answers repeats with zero Spark
+    jobs once warm, and a 0-posting budget delegates to the relational
+    plan with the same rows."""
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        InvertedIndex,
+        build_index,
+    )
+    from searchengine_spark.operators.phrase import (
+        phrase_search_indexed,
+        phrase_topk_rows,
+        proximity_search_indexed,
+        proximity_topk_rows,
+    )
+    from tests.test_round3 import _random_docs
+
+    d = str(tmp_path / "pidx")
+    build_index(
+        _random_docs(spark),
+        d,
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    idx = InvertedIndex.load(spark, d)
+    assert idx.manifest["flags"]["positions_packed"] is True
+
+    phrases = [
+        ["spark", "join"],
+        ["hash", "table", "scan"],
+        ["merge"],
+        ["join", "join"],            # duplicate terms are meaningful
+        ["spark", "zzz_missing"],    # missing term short-circuits
+    ]
+    for terms in phrases:
+        want = [
+            (r["docid"], r["phrase_tf"])
+            for r in phrase_search_indexed(idx, terms, k=10).collect()
+        ]
+        assert phrase_topk_rows(idx, terms, k=10) == want, terms
+        assert phrase_topk_rows(idx, terms, k=10, fetch_budget=0) == want
+
+    for terms, window in [
+        (["spark", "join"], 3),
+        (["hash", "scan", "merge"], 8),
+        (["spark", "join"], 0),
+        (["spark", "zzz_missing"], 3),
+    ]:
+        want = [
+            (r["docid"], r["prox_tf"])
+            for r in proximity_search_indexed(
+                idx, terms, window=window, k=10
+            ).collect()
+        ]
+        got = proximity_topk_rows(idx, terms, window=window, k=10)
+        assert got == want, (terms, window)
+        assert proximity_topk_rows(
+            idx, terms, window=window, k=10, fetch_budget=0
+        ) == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty phrase"):
+        phrase_topk_rows(idx, [])
+    with _pytest.raises(ValueError, match="window"):
+        proximity_topk_rows(idx, ["spark"], window=-1)
+
+    # warmed repeats run zero Spark jobs (lexicon memo + positions LRU)
+    idx.warm()
+    phrase_topk_rows(idx, ["spark", "join"], k=10)
+    proximity_topk_rows(idx, ["spark", "join"], window=3, k=10)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    assert phrase_topk_rows(idx, ["spark", "join"], k=10)
+    assert proximity_topk_rows(idx, ["spark", "join"], window=3, k=10)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
