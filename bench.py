@@ -318,9 +318,12 @@ def main() -> None:
         )
 
         # warm positional serving: the same phrase through the
-        # positions-LRU searchsorted kernel (zero Spark jobs once warm)
+        # positions-LRU searchsorted kernel (zero Spark jobs once warm
+        # — warm() first so term stats come from the lexicon memo, not
+        # a per-call point-lookup job)
         from searchengine_spark.operators.phrase import phrase_topk_rows
 
+        idx_disk.warm()
         phrase_topk_rows(idx_disk, ["spark", "join"], k=10)
         phrase_lat: list[float] = []
         for _ in range(20):

@@ -335,16 +335,30 @@ def proximity_search_indexed(
     )
 
 
+# warm positional kernels address occurrences by the composite key
+# (docid << 32) | position, so a docid or position at or above 2^31
+# cannot be encoded (the key would overflow int64) — such terms get a
+# None LRU entry and the kernels delegate to the distributed plan
+_KEY_SHIFT = 32
+_KEY_SAFE = 1 << 31
+
+
 def _ensure_positions_arrays(index, uniq: list[str]):
     """Ensure every term's positional postings sit in the index's
-    per-term positions LRU as ``(docids sorted int64, aligned list of
-    position arrays)``, fetching the missing terms with ONE
-    term-pushdown scan (pushed below the gap-VB decode on packed
-    indexes via ``_served_positions``), and return the LRU — the
-    positional twin of the content-postings LRU (1000-entry eviction,
-    Vocabulary.java:17's cache posture). Entries hold FULL per-term
-    lists (never a query-dependent intersection) so any later query
-    can reuse them."""
+    per-term positions LRU in flat composite-key form
+    ``(docids sorted int64, per-doc counts, per-doc offsets, keys)``
+    where ``keys[offs[i]:offs[i]+counts[i]]`` are docid ``docids[i]``'s
+    occurrences encoded as ``(docid << 32) | position`` — globally
+    sorted, so occurrence membership and interval tests over the WHOLE
+    term are single ``searchsorted`` calls (no per-document Python
+    iteration). Missing terms are fetched with ONE term-pushdown scan
+    (pushed below the gap-VB decode on packed indexes via
+    ``_served_positions``); the LRU is the positional twin of the
+    content-postings LRU (1000-entry eviction, Vocabulary.java:17's
+    cache posture). Entries hold FULL per-term lists (never a
+    query-dependent intersection) so any later query can reuse them;
+    a term whose docids or positions exceed the encodable 2^31 bound
+    is stored as ``None`` and served relationally."""
     import numpy as np
 
     lru = getattr(index, "_positions_lru", None)
@@ -365,13 +379,36 @@ def _ensure_positions_arrays(index, uniq: list[str]):
         )
         for t in to_fetch:
             sub = pdf[pdf["term"] == t].sort_values("docid")
-            lru[t] = (
+            lru[t] = _flat_entry(
                 sub["docid"].to_numpy(np.int64),
                 [np.asarray(p, dtype=np.int64) for p in sub["positions"]],
             )
             while len(lru) > 1000:
                 lru.popitem(last=False)
     return lru
+
+
+def _flat_entry(docids, plists):
+    """Build one positions-LRU entry ``(docids, counts, offs, keys)``
+    from docid-sorted per-doc position arrays, or ``None`` when a
+    docid or position is at or above 2^31 (unencodable in the
+    composite key — the kernels then delegate to the distributed
+    plan)."""
+    import numpy as np
+
+    counts = np.fromiter((len(p) for p in plists), np.int64, len(plists))
+    flat = np.concatenate(plists) if plists else np.empty(0, np.int64)
+    if (len(docids) and int(docids[-1]) >= _KEY_SAFE) or (
+        len(flat) and int(flat.max()) >= _KEY_SAFE
+    ):
+        return None
+    ends = np.cumsum(counts)
+    return (
+        docids,
+        counts,
+        ends - counts,
+        (np.repeat(docids, counts) << _KEY_SHIFT) | flat,
+    )
 
 
 def _positions_volume_bound(rows: dict, uniq: list[str]) -> int:
@@ -410,17 +447,28 @@ def _warm_positional_setup(index, terms: list[str], fetch_budget):
     if _positions_volume_bound(rows, uniq) > fetch_budget:
         return "fallback"
     dfs = {t: int(rows[t]["df"]) for t in uniq}
-    return uniq, dfs, _ensure_positions_arrays(index, uniq)
+    lru = _ensure_positions_arrays(index, uniq)
+    if any(lru[t] is None for t in uniq):
+        return "fallback"  # composite key unencodable at this scale
+    return uniq, dfs, lru
 
 
-def _doc_positions(lru_entry, docid: int):
-    """Position array of one docid inside a term's LRU entry (sorted
-    docids → one searchsorted)."""
+def _anchor_occurrences(entry, cand):
+    """Flat occurrence keys of the anchor term restricted to the
+    candidate docids, plus each occurrence's index into ``cand`` —
+    a vectorized ragged gather (no per-document loop): candidate rows
+    are located with one ``searchsorted`` (``cand`` is a subset of the
+    term's docids by construction), and their key slices are pulled
+    with the standard repeat/arange ragged-range trick."""
     import numpy as np
 
-    docids, plists = lru_entry
-    i = int(np.searchsorted(docids, docid))
-    return plists[i]
+    docids, counts, offs, keys = entry
+    ia = np.searchsorted(docids, cand)
+    c = counts[ia]
+    total = int(c.sum())
+    ends = np.cumsum(c)
+    sel = np.repeat(offs[ia] - (ends - c), c) + np.arange(total)
+    return keys[sel], np.repeat(np.arange(len(cand)), c)
 
 
 def _intersect_candidates(lru, uniq: list[str], dfs: dict[str, int]):
@@ -446,16 +494,23 @@ def phrase_topk_rows(
 ) -> list[tuple[int, int]]:
     """Warm phrase serving: ``phrase_search_indexed`` as plain
     (docid, phrase_tf) rows with ZERO Spark jobs on a warmed index —
-    per-term positional lists from the positions LRU, candidate docids
-    by rarest-first intersection, phrase starts by exact-membership
-    ``searchsorted`` over the anchor's positions (the same
-    shifted-containment predicate as the relational plan, anchored on
-    the rarest term). Rank phrase_tf DESC, docid ASC — rank-identical
-    to the DataFrame surface (pytest-pinned).
+    candidate docids by rarest-first intersection, then ONE vectorized
+    pass over ALL candidate anchor occurrences at once: the anchor's
+    occurrences (composite ``(docid << 32) | position`` keys) are
+    gathered with a ragged-range trick, each other term's shifted
+    membership is one ``searchsorted`` over its whole flat key array,
+    and per-doc phrase counts fall out of one ``bincount``. This is
+    the positional analog of the dense-query DAAT escape hatch: cost
+    is a handful of array ops over the candidate volume, never a
+    Python iteration per candidate document (the same shifted-
+    containment predicate as the relational plan, anchored on the
+    rarest term). Rank phrase_tf DESC, docid ASC — rank-identical to
+    the DataFrame surface (pytest-pinned).
 
     The fetch guard bounds the positional volume by Σ df·max_tf from
     the lexicon (the true per-term position count is not stored);
-    past the budget the kernel never fetches and delegates to the
+    past the budget — or when docids/positions exceed the composite
+    key's 2^31 bound — the kernel never fetches and delegates to the
     fully-distributed ``phrase_search_indexed``."""
     import numpy as np
 
@@ -473,24 +528,30 @@ def phrase_topk_rows(
     order = _phrase_join_order(terms, dfs)
     anchor = order[0]
     cand = _intersect_candidates(lru, uniq, dfs)
-    hits: list[tuple[int, int]] = []
-    for d in cand:
-        y = _doc_positions(lru[terms[anchor]], int(d))
-        mask = np.ones(len(y), dtype=bool)
-        for i in order[1:]:
-            p = _doc_positions(lru[terms[i]], int(d))
-            targets = y + (i - anchor)
-            idx = np.searchsorted(p, targets)
-            mask &= (idx < len(p)) & (
-                p[np.minimum(idx, len(p) - 1)] == targets
-            )
-            if not mask.any():
-                break
-        tf = int(mask.sum())
-        if tf > 0:
-            hits.append((int(d), tf))
-    hits.sort(key=lambda x: (-x[1], x[0]))
-    return hits[:k]
+    if len(cand) == 0:
+        return []
+    akeys, adoc = _anchor_occurrences(lru[terms[anchor]], cand)
+    apos = akeys & ((1 << _KEY_SHIFT) - 1)
+    mask = np.ones(len(akeys), dtype=bool)
+    for i in order[1:]:
+        tkeys = lru[terms[i]][3]
+        delta = i - anchor
+        targets = akeys + delta
+        j = np.searchsorted(tkeys, targets)
+        ok = (j < len(tkeys)) & (
+            tkeys[np.minimum(j, len(tkeys) - 1)] == targets
+        )
+        if delta < 0:
+            # a shift below the doc's position 0 must not be allowed
+            # to alias into the previous docid's key range
+            ok &= apos >= -delta
+        mask &= ok
+        if not mask.any():
+            return []
+    tf = np.bincount(adoc[mask], minlength=len(cand))
+    nz = np.nonzero(tf)[0]
+    sel = np.lexsort((cand[nz], -tf[nz]))[:k]
+    return [(int(cand[nz][i]), int(tf[nz][i])) for i in sel]
 
 
 def proximity_topk_rows(
@@ -502,9 +563,13 @@ def proximity_topk_rows(
 ) -> list[tuple[int, int]]:
     """Warm proximity serving: ``proximity_search_indexed`` as plain
     (docid, prox_tf) rows — first-term anchor occurrences with every
-    other uniq term within ±window, the interval test one
-    ``searchsorted`` per (anchor occurrence, term) over the sorted
-    position arrays. Same LRU, fetch guard, and fallback posture as
+    other uniq term within ±window, vectorized like
+    :func:`phrase_topk_rows`: the interval test is one
+    ``searchsorted`` per term over its whole flat composite-key array
+    (the lower interval end floored at the doc's position 0 so the
+    probe can't alias into the previous docid's key range; the upper
+    end stays in-doc because positions and the clamped window are both
+    below 2^31). Same LRU, fetch guard, and fallback posture as
     :func:`phrase_topk_rows`; rank prox_tf DESC, docid ASC,
     rank-identical to the DataFrame surface (pytest-pinned)."""
     import numpy as np
@@ -513,6 +578,10 @@ def proximity_topk_rows(
         raise ValueError("empty proximity query")
     if window < 0:
         raise ValueError("window must be >= 0")
+    # positions are < 2^31 in any encodable entry, so any window past
+    # that already matches the whole document — clamping preserves
+    # semantics and keeps interval keys inside the doc's key range
+    window = min(window, _KEY_SAFE - 1)
     setup = _warm_positional_setup(index, terms, fetch_budget)
     if setup == "missing":
         return []
@@ -525,23 +594,25 @@ def proximity_topk_rows(
         ]
     uniq, dfs, lru = setup
     cand = _intersect_candidates(lru, uniq, dfs)
-    hits: list[tuple[int, int]] = []
-    for d in cand:
-        y = _doc_positions(lru[uniq[0]], int(d))
-        mask = np.ones(len(y), dtype=bool)
-        for t in uniq[1:]:
-            p = _doc_positions(lru[t], int(d))
-            lo = np.searchsorted(p, y - window)
-            mask &= (lo < len(p)) & (
-                p[np.minimum(lo, len(p) - 1)] <= y + window
-            )
-            if not mask.any():
-                break
-        tf = int(mask.sum())
-        if tf > 0:
-            hits.append((int(d), tf))
-    hits.sort(key=lambda x: (-x[1], x[0]))
-    return hits[:k]
+    if len(cand) == 0:
+        return []
+    akeys, adoc = _anchor_occurrences(lru[uniq[0]], cand)
+    apos = akeys & ((1 << _KEY_SHIFT) - 1)
+    lo = akeys - np.minimum(apos, window)
+    hi = akeys + window
+    mask = np.ones(len(akeys), dtype=bool)
+    for t in uniq[1:]:
+        tkeys = lru[t][3]
+        j = np.searchsorted(tkeys, lo)
+        mask &= (j < len(tkeys)) & (
+            tkeys[np.minimum(j, len(tkeys) - 1)] <= hi
+        )
+        if not mask.any():
+            return []
+    tf = np.bincount(adoc[mask], minlength=len(cand))
+    nz = np.nonzero(tf)[0]
+    sel = np.lexsort((cand[nz], -tf[nz]))[:k]
+    return [(int(cand[nz][i]), int(tf[nz][i])) for i in sel]
 
 
 def snippet_windows(

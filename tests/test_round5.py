@@ -793,3 +793,163 @@ def test_warm_positional_kernels_equal_relational(spark, tmp_path):
     assert proximity_topk_rows(idx, ["spark", "join"], window=3, k=10)
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert before == after
+
+
+# ---- Spark-free property test: the vectorized warm positional kernels
+# (flat composite-key membership/interval probes, ragged anchor gather,
+# bincount tf) must equal a brute-force per-document scorer under the
+# engine's order (tf DESC, docid ASC) on adversarial random corpora:
+# duplicate query terms, overlapping occurrences, 1-token docs, docs
+# missing terms, window 0, k beyond the hit count.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class _PosStubIndex:
+    """Offline stand-in for an InvertedIndex: a warmed lexicon memo and
+    a pre-populated positions LRU — so the kernels run with no Spark."""
+
+    def __init__(self, docs: dict[int, list[str]]):
+        import numpy as np
+
+        from searchengine_spark.operators.phrase import _flat_entry
+
+        self.lexicon_map = {}
+        self._positions_lru = {}
+        vocab = sorted({t for toks in docs.values() for t in toks})
+        for t in vocab:
+            docids, plists = [], []
+            for d in sorted(docs):
+                pos = [i for i, tok in enumerate(docs[d]) if tok == t]
+                if pos:
+                    docids.append(d)
+                    plists.append(np.asarray(pos, dtype=np.int64))
+            self.lexicon_map[t] = {
+                "df": len(docids),
+                "max_tf": max(len(p) for p in plists),
+            }
+            self._positions_lru[t] = _flat_entry(
+                np.asarray(docids, dtype=np.int64), plists
+            )
+
+
+def _brute_phrase(docs, terms, k):
+    hits = []
+    for d, toks in docs.items():
+        tf = sum(
+            1
+            for s in range(len(toks))
+            if all(
+                s + i < len(toks) and toks[s + i] == t
+                for i, t in enumerate(terms)
+            )
+        )
+        if tf > 0:
+            hits.append((d, tf))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+def _brute_proximity(docs, terms, window, k):
+    uniq = list(dict.fromkeys(terms))
+    hits = []
+    for d, toks in docs.items():
+        pos = {t: [i for i, tok in enumerate(toks) if tok == t] for t in uniq}
+        if any(not pos[t] for t in uniq):
+            continue
+        tf = sum(
+            1
+            for y in pos[uniq[0]]
+            if all(
+                any(abs(p - y) <= window for p in pos[t])
+                for t in uniq[1:]
+            )
+        )
+        if tf > 0:
+            hits.append((d, tf))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+@st.composite
+def _positional_case(draw):
+    docids = sorted(
+        draw(st.sets(st.integers(0, 40), min_size=1, max_size=10))
+    )
+    docs = {
+        d: draw(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "x"]),
+                min_size=1,
+                max_size=16,
+            )
+        )
+        for d in docids
+    }
+    terms = draw(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3)
+    )
+    return docs, terms
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    case=_positional_case(),
+    window=st.integers(0, 4),
+    k=st.integers(1, 6),
+)
+def test_warm_positional_kernels_equal_bruteforce(case, window, k):
+    from searchengine_spark.operators.phrase import (
+        phrase_topk_rows,
+        proximity_topk_rows,
+    )
+
+    docs, terms = case
+    idx = _PosStubIndex(docs)
+    missing = any(t not in idx.lexicon_map for t in terms)
+
+    want_ph = [] if missing else _brute_phrase(docs, terms, k)
+    assert phrase_topk_rows(idx, terms, k=k, fetch_budget=1 << 40) == want_ph
+
+    want_px = [] if missing else _brute_proximity(docs, terms, window, k)
+    assert (
+        proximity_topk_rows(
+            idx, terms, window=window, k=k, fetch_budget=1 << 40
+        )
+        == want_px
+    )
+
+
+def test_flat_entry_unencodable_delegates():
+    """A term whose docids or positions exceed the composite key's
+    2^31 bound gets a None LRU entry, and the setup head reports
+    "fallback" so the kernels delegate to the distributed plan."""
+    import numpy as np
+
+    from searchengine_spark.operators.phrase import (
+        _flat_entry,
+        _warm_positional_setup,
+    )
+
+    big = 1 << 31
+    assert _flat_entry(
+        np.asarray([1, big], dtype=np.int64),
+        [np.asarray([0], dtype=np.int64), np.asarray([0], dtype=np.int64)],
+    ) is None
+    assert _flat_entry(
+        np.asarray([1], dtype=np.int64),
+        [np.asarray([big], dtype=np.int64)],
+    ) is None
+    # in-range entries stay encodable right up to the bound
+    ok = _flat_entry(
+        np.asarray([big - 1], dtype=np.int64),
+        [np.asarray([big - 1], dtype=np.int64)],
+    )
+    assert ok is not None
+
+    class _Stub:
+        lexicon_map = {"t": {"df": 1, "max_tf": 1}}
+        _positions_lru = {"t": None}
+
+    assert _warm_positional_setup(_Stub(), ["t"], 1 << 40) == "fallback"
