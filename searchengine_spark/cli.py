@@ -144,7 +144,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
     import statistics
 
     from .operators.indexer import InvertedIndex
-    from .operators.maxscore import batch_top_k_rows, maxscore_topk_rows
+    from .operators.maxscore import batch_top_k_frame, maxscore_topk_rows
     from .sources.sinks import write_trec
 
     spark = _spark("se-eval")
@@ -158,12 +158,10 @@ def cmd_eval(args: argparse.Namespace) -> int:
                 queries[qid] = text
     t0 = time.time()
     # warm batch path: one union posting fetch + vectorized per-query
-    # scoring; self-delegates to the distributed relational batch when
-    # the union's Σdf exceeds the driver's fetch budget
-    rows = batch_top_k_rows(idx, queries, k=args.k, scoring=args.scoring)
-    allq = spark.createDataFrame(
-        rows, "qid string, docid long, pid string, score double, rank long"
-    )
+    # scoring, uploaded once; the over-budget delegation hands the
+    # DISTRIBUTED relational batch frame straight to the sink (no
+    # k·|Q|-row driver round-trip on the at-scale path)
+    allq = batch_top_k_frame(idx, queries, k=args.k, scoring=args.scoring)
     write_trec(allq.select("qid", "docid", "pid", "score"),
                args.output, run_id=args.run_id)
     batch_sec = time.time() - t0

@@ -648,42 +648,79 @@ def _bmw_slice(
     return [(sc, -nd) for sc, nd in heap]
 
 
+class FetchOverBudget(Exception):
+    """Raised by an ``_ensure_lru`` fetch closure whose measured volume
+    exceeds the driver fetch budget — the caller delegates to its
+    fully-distributed relational twin instead."""
+
+
+def _ensure_lru(index, attr: str, terms: list[str], fetch, build):
+    """Shared per-term LRU ensure used by every warm serving cache
+    (content postings, field postings, positions): an ``OrderedDict``
+    at ``index.<attr>``, capped at the reference's 1000-entry
+    Vocabulary cache size (Vocabulary.java:17, CacheTests).
+
+    The query's already-cached terms are touched (``move_to_end``)
+    BEFORE anything is fetched — that keeps the cache truly
+    least-recently-used rather than insertion-ordered, and it
+    guarantees the eviction below can never drop a term of the
+    in-flight query (a cold fetch at the cap used to be able to evict
+    a warm term of the SAME query between its membership check and
+    its read). Missing terms are fetched in ONE call —
+    ``fetch(to_fetch)`` returns a pandas frame with ``term``/``docid``
+    columns — and built into entries per term via ``build(sub)``;
+    eviction then drops the oldest entries NOT in the current query
+    down to the cap."""
+    from collections import OrderedDict
+
+    lru = getattr(index, attr, None)
+    if lru is None:
+        lru = OrderedDict()
+        try:
+            setattr(index, attr, lru)
+        except AttributeError:
+            pass
+    for t in terms:
+        if t in lru:
+            lru.move_to_end(t)
+    to_fetch = [t for t in terms if t not in lru]
+    if to_fetch:
+        pdf = fetch(to_fetch)
+        for t in to_fetch:
+            lru[t] = build(pdf[pdf["term"] == t].sort_values("docid"))
+        cur = set(terms)
+        while len(lru) > 1000:
+            old = next((x for x in lru if x not in cur), None)
+            if old is None:
+                break  # every cached entry belongs to this query
+            del lru[old]
+    return lru
+
+
 def _ensure_postings_arrays(index, terms: list[str]):
     """Ensure every term's raw posting arrays ``(docids, tfs, doc_lens)``
     — docid-sorted — sit in the index's shared per-term LRU, fetching
     the missing ones with ONE In-pushdown scan, and return the LRU.
-    The LRU mirrors the reference's 1000-entry Vocabulary cache
-    (Vocabulary.java:17, CacheTests): repeat terms skip the fetch job
-    entirely. Shared by the warm single-query kernels (``_serve``) and
-    the warm fielded kernel (``query.bm25f_topk_rows``); the batch
-    path keeps its own non-inserting read so a 7,000-query union can't
-    churn warm single-query terms out."""
-    lru = getattr(index, "_postings_lru", None)
-    if lru is None:
-        from collections import OrderedDict
+    Shared by the warm single-query kernels (``_serve``) and the warm
+    fielded kernel (``query.bm25f_topk_rows``); the batch path keeps
+    its own non-inserting read so a 7,000-query union can't churn warm
+    single-query terms out."""
 
-        lru = OrderedDict()
-        try:
-            index._postings_lru = lru
-        except AttributeError:
-            pass
-    to_fetch = [t for t in terms if t not in lru]
-    if to_fetch:
-        pdf = (
+    def fetch(to_fetch):
+        return (
             index.postings.filter(F.col("term").isin(to_fetch))
             .select("term", "docid", "tf", "doc_len")
             .toPandas()
         )
-        for t in to_fetch:
-            sub = pdf[pdf["term"] == t].sort_values("docid")
-            lru[t] = (
-                sub["docid"].to_numpy(np.int64),
-                sub["tf"].to_numpy(),
-                sub["doc_len"].to_numpy(),
-            )
-            while len(lru) > 1000:  # reference LRU size (Vocabulary.java:17)
-                lru.popitem(last=False)
-    return lru
+
+    def build(sub):
+        return (
+            sub["docid"].to_numpy(np.int64),
+            sub["tf"].to_numpy(),
+            sub["doc_len"].to_numpy(),
+        )
+
+    return _ensure_lru(index, "_postings_lru", terms, fetch, build)
 
 
 def _serve(
@@ -762,8 +799,7 @@ def _serve(
     bm_stored = _fetch_block_bounds(index, present, scoring) if need_bm else {}
     lists = []
     for t in present:
-        docids, tfs, dls = lru[t]
-        lru.move_to_end(t)
+        docids, tfs, dls = lru[t]  # recency already refreshed by _ensure_lru
         r = by_term[t]
         idf = float(r["idf"])
         scores = _score_arrays(scoring, idf, tfs, dls, avgdl)
@@ -949,6 +985,7 @@ def batch_top_k_rows(
     scoring: str = "bm25",
     round_decimals: int | None = None,
     fetch_budget: int | None = None,
+    _delegate: str = "collect",
 ) -> list[tuple[str, int, str, float, int]]:
     """Warm batch evaluation: every query's result from driver-side
     vectorized scoring, with ONE Spark job for the union of all
@@ -968,6 +1005,11 @@ def batch_top_k_rows(
     contain the term (the batch analog of the postings LRU; the
     per-query LRU itself is left untouched to avoid churning warm
     single-query terms out).
+
+    ``_delegate`` is internal plumbing for :func:`batch_top_k_frame`:
+    with ``"frame"``, the over-budget branch returns the relational
+    batch's DataFrame UNCOLLECTED so sinks never pay a k·|Q|-row
+    driver round-trip on exactly the too-big-for-driver path.
     """
     from .query import BATCH_PUSHDOWN_TERM_LIMIT, batch_top_k
 
@@ -1001,12 +1043,15 @@ def batch_top_k_rows(
     present = [t for t in distinct if t in by_term]
     total_df = sum(int(by_term[t]["df"]) for t in present)
     if total_df > fetch_budget:
+        df = batch_top_k(
+            index, queries, k=k, conjunctive=conjunctive,
+            scoring=scoring, round_decimals=round_decimals,
+        )
+        if _delegate == "frame":
+            return df
         return [
             (r["qid"], r["docid"], r["pid"], r["score"], r["rank"])
-            for r in batch_top_k(
-                index, queries, k=k, conjunctive=conjunctive,
-                scoring=scoring, round_decimals=round_decimals,
-            ).collect()
+            for r in df.collect()
         ]
 
     # one fetch for every term not already warm in the single-query LRU
@@ -1076,6 +1121,36 @@ def batch_top_k_rows(
         .collect()
     }
     return [(q, d, resolved[d], s, r) for q, d, _, s, r in out]
+
+
+_BATCH_ROWS_SCHEMA = (
+    "qid string, docid long, pid string, score double, rank long"
+)
+
+
+def batch_top_k_frame(
+    index,
+    queries: dict[str, str],
+    k: int = 10,
+    conjunctive: bool = False,
+    scoring: str = "bm25",
+    round_decimals: int | None = None,
+    fetch_budget: int | None = None,
+):
+    """DataFrame twin of :func:`batch_top_k_rows` for sinks
+    (``cli eval`` → ``write_trec``): under the fetch budget it uploads
+    the warm rows once; over the budget it hands the fully-distributed
+    relational ``batch_top_k`` DataFrame straight through — the
+    too-big-for-driver path never materializes k·|Q| rows on the
+    driver just to re-upload them."""
+    res = batch_top_k_rows(
+        index, queries, k=k, conjunctive=conjunctive, scoring=scoring,
+        round_decimals=round_decimals, fetch_budget=fetch_budget,
+        _delegate="frame",
+    )
+    if isinstance(res, list):
+        return index.spark.createDataFrame(res, _BATCH_ROWS_SCHEMA)
+    return res
 
 
 def bmw_topk(

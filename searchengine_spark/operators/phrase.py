@@ -361,31 +361,22 @@ def _ensure_positions_arrays(index, uniq: list[str]):
     is stored as ``None`` and served relationally."""
     import numpy as np
 
-    lru = getattr(index, "_positions_lru", None)
-    if lru is None:
-        from collections import OrderedDict
+    from .maxscore import _ensure_lru
 
-        lru = OrderedDict()
-        try:
-            index._positions_lru = lru
-        except AttributeError:
-            pass
-    to_fetch = [t for t in uniq if t not in lru]
-    if to_fetch:
-        pdf = (
+    def fetch(to_fetch):
+        return (
             _served_positions(index, to_fetch)
             .select("term", "docid", "positions")
             .toPandas()
         )
-        for t in to_fetch:
-            sub = pdf[pdf["term"] == t].sort_values("docid")
-            lru[t] = _flat_entry(
-                sub["docid"].to_numpy(np.int64),
-                [np.asarray(p, dtype=np.int64) for p in sub["positions"]],
-            )
-            while len(lru) > 1000:
-                lru.popitem(last=False)
-    return lru
+
+    def build(sub):
+        return _flat_entry(
+            sub["docid"].to_numpy(np.int64),
+            [np.asarray(p, dtype=np.int64) for p in sub["positions"]],
+        )
+
+    return _ensure_lru(index, "_positions_lru", uniq, fetch, build)
 
 
 def _flat_entry(docids, plists):
@@ -480,7 +471,11 @@ def _intersect_candidates(lru, uniq: list[str], dfs: dict[str, int]):
     cand = None
     for t in sorted(uniq, key=lambda t: dfs[t]):
         d = lru[t][0]
-        cand = d if cand is None else np.intersect1d(cand, d)
+        # both operands are docid-sorted and duplicate-free by
+        # construction — skip intersect1d's internal re-sort
+        cand = d if cand is None else np.intersect1d(
+            cand, d, assume_unique=True
+        )
         if len(cand) == 0:
             break
     return cand
@@ -578,14 +573,13 @@ def proximity_topk_rows(
         raise ValueError("empty proximity query")
     if window < 0:
         raise ValueError("window must be >= 0")
-    # positions are < 2^31 in any encodable entry, so any window past
-    # that already matches the whole document — clamping preserves
-    # semantics and keeps interval keys inside the doc's key range
-    window = min(window, _KEY_SAFE - 1)
     setup = _warm_positional_setup(index, terms, fetch_budget)
     if setup == "missing":
         return []
     if setup == "fallback":
+        # the relational plan gets the CALLER'S window — on this path
+        # positions may exceed 2^31 (unencodable entries), where the
+        # warm kernel's clamp below would not be semantics-preserving
         return [
             (r["docid"], r["prox_tf"])
             for r in proximity_search_indexed(
@@ -593,6 +587,10 @@ def proximity_topk_rows(
             ).collect()
         ]
     uniq, dfs, lru = setup
+    # positions are < 2^31 in every encodable entry, so any window past
+    # that already matches the whole document — clamping preserves
+    # semantics and keeps interval keys inside the doc's key range
+    window = min(window, _KEY_SAFE - 1)
     cand = _intersect_candidates(lru, uniq, dfs)
     if len(cand) == 0:
         return []

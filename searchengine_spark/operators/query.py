@@ -632,8 +632,10 @@ def bm25f_topk_rows(
     the fully-distributed ``bm25f_top_k``. Nothing larger than the
     budget is ever moved to the driver."""
     from .maxscore import (
+        FetchOverBudget,
         _daat_vec_slice,
         _default_fetch_budget,
+        _ensure_lru,
         _ensure_postings_arrays,
     )
 
@@ -670,17 +672,7 @@ def bm25f_topk_rows(
         return _fallback()
 
     # filename-field arrays (docids, tfs, field_lens) — second LRU
-    flru = getattr(index, "_field_postings_lru", None)
-    if flru is None:
-        from collections import OrderedDict
-
-        flru = OrderedDict()
-        try:
-            index._field_postings_lru = flru
-        except AttributeError:
-            pass
-    to_fetch = [t for t in present if t not in flru]
-    if to_fetch:
+    def fetch_fields(to_fetch):
         fp = (
             index.field_postings
             if index.manifest.get("flags", {}).get("fields", False)
@@ -696,17 +688,22 @@ def bm25f_topk_rows(
         # the lexicon knows nothing about field dfs: count before
         # moving anything (a scalar job), honoring the fetch budget
         if content_df + fp.count() > fetch_budget:
-            return _fallback()
-        pdf = fp.toPandas()
-        for t in to_fetch:
-            sub = pdf[pdf["term"] == t].sort_values("docid")
-            flru[t] = (
-                sub["docid"].to_numpy(np.int64),
-                sub["tf"].to_numpy(),
-                sub["field_len"].to_numpy(),
-            )
-            while len(flru) > 1000:
-                flru.popitem(last=False)
+            raise FetchOverBudget
+        return fp.toPandas()
+
+    def build_fields(sub):
+        return (
+            sub["docid"].to_numpy(np.int64),
+            sub["tf"].to_numpy(),
+            sub["field_len"].to_numpy(),
+        )
+
+    try:
+        flru = _ensure_lru(
+            index, "_field_postings_lru", present, fetch_fields, build_fields
+        )
+    except FetchOverBudget:
+        return _fallback()
 
     lru = _ensure_postings_arrays(index, present)
     stats = index.stats
@@ -715,10 +712,8 @@ def bm25f_topk_rows(
 
     lists = []
     for i, t in enumerate(present):
-        cd, ctf, cdl = lru[t]
-        lru.move_to_end(t)
+        cd, ctf, cdl = lru[t]  # recency already refreshed by _ensure_lru
         fd, ftf, ffl = flru[t]
-        flru.move_to_end(t)
         u = np.union1d(cd, fd)
         if len(u) == 0:
             continue

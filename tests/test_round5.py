@@ -816,7 +816,9 @@ class _PosStubIndex:
         from searchengine_spark.operators.phrase import _flat_entry
 
         self.lexicon_map = {}
-        self._positions_lru = {}
+        from collections import OrderedDict
+
+        self._positions_lru = OrderedDict()
         vocab = sorted({t for toks in docs.values() for t in toks})
         for t in vocab:
             docids, plists = [], []
@@ -950,6 +952,85 @@ def test_flat_entry_unencodable_delegates():
 
     class _Stub:
         lexicon_map = {"t": {"df": 1, "max_tf": 1}}
-        _positions_lru = {"t": None}
+        from collections import OrderedDict
+
+        _positions_lru = OrderedDict({"t": None})
 
     assert _warm_positional_setup(_Stub(), ["t"], 1 << 40) == "fallback"
+
+
+def test_ensure_lru_eviction_never_drops_inflight_terms():
+    """At the 1000-entry cap, a query mixing the cache's OLDEST warm
+    term with a cold term must not evict that warm term during the
+    cold fetch (the read that follows would KeyError); recency is
+    refreshed on every hit (true LRU, not FIFO), and an oversized
+    in-flight query may exceed the cap rather than evict itself."""
+    import pandas as pd
+
+    from searchengine_spark.operators.maxscore import _ensure_lru
+
+    class _Idx:
+        pass
+
+    def fetch(to_fetch):
+        return pd.DataFrame(
+            {"term": to_fetch, "docid": [0] * len(to_fetch)}
+        )
+
+    def build(sub):
+        return ("entry", sub["term"].iloc[0])
+
+    idx = _Idx()
+    # fill to the cap: t0000 is the oldest entry
+    _ensure_lru(
+        idx, "_postings_lru", [f"t{i:04d}" for i in range(1000)],
+        fetch, build,
+    )
+    assert len(idx._postings_lru) == 1000
+    # oldest warm term + one cold term: the insert overflows the cap,
+    # but the in-flight warm term survives (t0001 is evicted instead)
+    lru = _ensure_lru(idx, "_postings_lru", ["t0000", "cold"], fetch, build)
+    assert len(lru) == 1000
+    assert "t0000" in lru and "cold" in lru and "t0001" not in lru
+    # pure-hit recency refresh: touch t0002, then overflow with two
+    # cold terms — t0002 outlives the untouched older t0003/t0004
+    _ensure_lru(idx, "_postings_lru", ["t0002"], fetch, build)
+    _ensure_lru(idx, "_postings_lru", ["c2", "c3"], fetch, build)
+    assert "t0002" in idx._postings_lru
+    assert "t0003" not in idx._postings_lru
+    assert "t0004" not in idx._postings_lru
+    # an oversized in-flight query never evicts its own terms
+    big = [f"b{i:05d}" for i in range(1001)]
+    lru = _ensure_lru(_Idx(), "_postings_lru", big, fetch, build)
+    assert all(t in lru for t in big)
+
+
+def test_batch_top_k_frame_over_budget_stays_distributed(spark, tmp_path):
+    """batch_top_k_frame returns the warm rows uploaded under the
+    budget and the UNCOLLECTED relational batch frame over it — same
+    rows either way, but the at-scale path is a passthrough DataFrame,
+    not a k x |Q| driver round-trip."""
+    from pyspark.sql import DataFrame
+
+    from searchengine_spark.operators.frames import build_index_frames
+    from searchengine_spark.operators.maxscore import batch_top_k_frame
+
+    docs = spark.createDataFrame(
+        [("d1", "spark join fast"), ("d2", "spark merge"), ("d3", "join")],
+        "pid string, content string",
+    )
+    idx = build_index_frames(docs, stem_stop=False)
+    queries = {"q1": "spark join", "q2": "merge"}
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["docid"], r["pid"], r["score"], r["rank"])
+            for r in df.collect()
+        )
+
+    warm = batch_top_k_frame(idx, queries, k=5)
+    assert isinstance(warm, DataFrame)
+    delegated = batch_top_k_frame(idx, queries, k=5, fetch_budget=0)
+    assert isinstance(delegated, DataFrame)
+    assert rows(warm) == rows(delegated)
+    assert rows(warm)  # non-empty
