@@ -342,6 +342,21 @@ def main() -> None:
             ).count()
         )
 
+        # warm results page: ranking + window selection driver-side,
+        # ONE k-row docstore render job per call (p50 of 20)
+        from searchengine_spark.operators.phrase import (
+            search_with_snippets_rows,
+        )
+
+        search_with_snippets_rows(idx_disk, docs, "spark join fast", k=10)
+        snip_lat: list[float] = []
+        for _ in range(20):
+            tq = time.time()
+            search_with_snippets_rows(
+                idx_disk, docs, "spark join fast", k=10
+            )
+            snip_lat.append((time.time() - tq) * 1000)
+
         # true multi-field BM25F (per-field tf/length/weights) — this
         # index carries no persisted fields stage, so the line times
         # the derived-field fallback: two In-filtered scans, full outer
@@ -408,6 +423,9 @@ def main() -> None:
             ),
             "query_warm_phrase_p50_ms": round(
                 statistics.median(phrase_lat), 2
+            ),
+            "query_warm_snippets_p50_ms": round(
+                statistics.median(snip_lat), 2
             ),
             "batch_queries_per_sec": round(50 / batch_sec, 1),
             "batch500_queries_per_sec": round(500 / batch500_sec, 1),

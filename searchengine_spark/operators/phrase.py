@@ -780,6 +780,137 @@ def search_with_snippets(
     )
 
 
+def search_with_snippets_rows(
+    index,
+    docs: DataFrame,
+    text: str,
+    k: int = 10,
+    width: int = 10,
+    scoring: str = "bm25",
+    fetch_budget: int | None = None,
+) -> list[tuple]:
+    """Warm results page: ``search_with_snippets`` as plain (docid,
+    pid, score, snippet_start, n_matched_terms, snippet) rows — the
+    full interactive composition at ONE Spark job on a warmed index:
+    ranking runs through the warm MaxScore kernel (zero jobs), window
+    selection reads the query terms' positions from the positions LRU
+    and picks each hit's best ``width``-token window driver-side with
+    the same maximize-(distinct terms), tie-earliest-start rule as
+    ``snippet_windows`` (vectorized over the occurrence candidates),
+    and the one job is the k-row docstore read that renders the spans
+    (the pid-sorted docstore contract keeps it O(k) row groups).
+
+    Fallback posture mirrors the other warm kernels: the Σ df·max_tf
+    volume bound (or an unencodable positions entry) delegates the
+    whole composition to the distributed ``search_with_snippets``;
+    hits whose docstore row is missing keep their rank with NULL
+    snippet columns (the relational LEFT-join semantics)."""
+    import numpy as np
+
+    from ..functions.analysis import tokens_col
+    from .maxscore import _default_fetch_budget, maxscore_topk_rows
+    from .query import query_terms
+
+    if width <= 0:
+        raise ValueError("width must be positive")
+    flags = index.manifest.get("flags", {}) if hasattr(index, "manifest") else {}
+    stem_stop = flags.get("stem_stop", True)
+    terms = query_terms(text, stem_stop)
+    if not terms:
+        return []
+
+    def _fallback():
+        return [
+            (
+                r["docid"], r["pid"], r["score"], r["snippet_start"],
+                r["n_matched_terms"], r["snippet"],
+            )
+            for r in search_with_snippets(
+                index, docs, text, k=k, width=width, scoring=scoring
+            ).collect()
+        ]
+
+    uniq = list(dict.fromkeys(terms))
+    lmap = getattr(index, "lexicon_map", None)
+    if lmap is not None:
+        lrows = {t: lmap[t] for t in uniq if t in lmap}
+    else:
+        lrows = {
+            r["term"]: r
+            for r in index.lexicon.filter(F.col("term").isin(uniq))
+            .select("term", "df", "max_tf")
+            .collect()
+        }
+    present = [t for t in uniq if t in lrows]
+    if not present:
+        return []  # nothing in vocabulary -> no hits either
+    if fetch_budget is None:
+        fetch_budget = _default_fetch_budget(index.spark)
+    if _positions_volume_bound(lrows, present) > fetch_budget:
+        return _fallback()
+    lru = _ensure_positions_arrays(index, present)
+    if any(lru[t] is None for t in present):
+        return _fallback()
+
+    hits = maxscore_topk_rows(
+        index, text, k=k, scoring=scoring, fetch_budget=fetch_budget
+    )
+    if not hits:
+        return []
+
+    # best window per hit: candidates are the doc's query-term
+    # occurrences; n(x) = distinct query terms with a position in
+    # [x, x+width); pick max n, tie earliest x — exactly
+    # snippet_windows' array_max(struct(s, -x, x)) rule
+    pos_mask = (1 << _KEY_SHIFT) - 1
+    best: dict[int, tuple[int, int] | None] = {}
+    for d, _p, _s in hits:
+        plists = {}
+        for t in present:
+            docids, counts, offs, keys = lru[t]
+            i = int(np.searchsorted(docids, d))
+            if i < len(docids) and docids[i] == d:
+                o = int(offs[i])
+                plists[t] = keys[o : o + int(counts[i])] & pos_mask
+        if not plists:
+            best[d] = None
+            continue
+        cand = np.unique(np.concatenate(list(plists.values())))
+        n = np.zeros(len(cand), dtype=np.int64)
+        for p in plists.values():
+            j = np.searchsorted(p, cand)
+            n += (
+                (j < len(p))
+                & (p[np.minimum(j, len(p) - 1)] < cand + width)
+            ).astype(np.int64)
+        b = int(np.lexsort((cand, -n))[0])
+        best[d] = (int(cand[b]), int(n[b]))
+
+    # the ONE job: render the k hit documents' token spans
+    tok_by_pid = {
+        r["pid"]: r["tokens"]
+        for r in docs.filter(
+            F.col("pid").isin([p for _, p, _ in hits])
+        )
+        .select(
+            "pid", tokens_col(F.col("content"), stem_stop).alias("tokens")
+        )
+        .collect()
+    }
+    out = []
+    for d, p, s in hits:
+        b = best.get(d)
+        toks = tok_by_pid.get(p)
+        if b is None or toks is None:
+            out.append((int(d), p, float(s), None, None, None))
+        else:
+            x, n_m = b
+            out.append(
+                (int(d), p, float(s), x, n_m, " ".join(toks[x : x + width]))
+            )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate registration + DuckDB oracle
 # ---------------------------------------------------------------------------

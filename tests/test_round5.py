@@ -1034,3 +1034,73 @@ def test_batch_top_k_frame_over_budget_stays_distributed(spark, tmp_path):
     assert isinstance(delegated, DataFrame)
     assert rows(warm) == rows(delegated)
     assert rows(warm)  # non-empty
+
+
+def test_search_with_snippets_rows_equal_relational(spark, tmp_path):
+    """The warm results-page composition (search_with_snippets_rows:
+    warm MaxScore ranking + LRU-side window selection + ONE k-row
+    docstore render job) is row-identical to the relational
+    search_with_snippets on a packed positional index — including
+    non-default width, out-of-vocab terms, empty queries, a hit whose
+    docstore row is missing (NULL snippet columns, rank kept), and the
+    budget fallback."""
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        InvertedIndex,
+        build_index,
+    )
+    from searchengine_spark.operators.phrase import (
+        search_with_snippets,
+        search_with_snippets_rows,
+    )
+    from tests.test_round3 import _random_docs
+
+    docs = _random_docs(spark)
+    d = str(tmp_path / "sidx")
+    build_index(
+        docs, d,
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    idx = InvertedIndex.load(spark, d)
+    idx.warm()
+
+    def rel(text, dframe, **kw):
+        return [
+            (
+                r["docid"], r["pid"], r["score"], r["snippet_start"],
+                r["n_matched_terms"], r["snippet"],
+            )
+            for r in search_with_snippets(
+                idx, dframe, text, k=10, **kw
+            ).collect()
+        ]
+
+    cases = [
+        ("spark join", {}),
+        ("hash table scan merge", {"width": 4}),
+        ("spark zzz_missing", {}),
+        ("zzz_all_missing", {}),
+        ("", {}),
+    ]
+    for text, kw in cases:
+        want = rel(text, docs, **kw)
+        got = search_with_snippets_rows(idx, docs, text, k=10, **kw)
+        assert got == want, (text, kw)
+        # budget fallback: can never fetch — delegates, same rows
+        assert search_with_snippets_rows(
+            idx, docs, text, k=10, fetch_budget=0, **kw
+        ) == want
+
+    # docstore skew: drop one hit's docstore row — NULL snippet
+    # columns, rank kept (the relational LEFT-join semantics)
+    first_hit = search_with_snippets_rows(idx, docs, "spark join", k=10)[0]
+    docs_skew = docs.filter(F.col("pid") != first_hit[1])
+    want = rel("spark join", docs_skew)
+    got = search_with_snippets_rows(idx, docs_skew, "spark join", k=10)
+    assert got == want
+    assert got[0][1] == first_hit[1] and got[0][3:] == (None, None, None)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="width"):
+        search_with_snippets_rows(idx, docs, "spark", width=0)
