@@ -735,11 +735,15 @@ def _serve(
     fetch_budget: int | None,
     block_max: bool = False,
     algo: str = "maxscore",
+    terms: list[str] | None = None,
 ):
     """Shared serving core. Returns ``("fallback", None)`` when the
     relational path must run (flag off, or Σdf over the fetch budget),
     else ``("rows", [(score, docid), ...])`` — the global top-k, sorted
-    score DESC / docid ASC (possibly empty)."""
+    score DESC / docid ASC (possibly empty). ``terms`` bypasses query
+    analysis with pre-analyzed terms (the warm twin of
+    ``query.top_k_terms`` — PRF re-runs expanded term lists through
+    it)."""
     spark = index.spark
     stats = index.stats
     stem_stop = index.manifest["flags"]["stem_stop"]
@@ -756,7 +760,8 @@ def _serve(
     if fetch_budget is None:
         fetch_budget = _default_fetch_budget(spark)
 
-    terms = query_terms(text, stem_stop)
+    if terms is None:
+        terms = query_terms(text, stem_stop)
     if not terms:
         return "rows", []
 
@@ -873,22 +878,29 @@ def maxscore_topk_rows(
     fetch_budget: int | None = None,
     block_max: bool = False,
     algo: str = "maxscore",
+    terms: list[str] | None = None,
 ) -> list[tuple[int, str, float]]:
     """Warm serving surface: top-k as plain (docid, pid, score) rows,
     ZERO Spark jobs on a warmed index with cached posting lists — the
     reference's interactive posture (cli Main.java answers from local
     structures; no cluster round-trip belongs on a 10-row result).
     Falls back to the distributed plan (and one collect) only when the
-    df-guard or the max_score flag demands it."""
+    df-guard or the max_score flag demands it. ``terms`` bypasses
+    query analysis with pre-analyzed terms (warm twin of
+    ``query.top_k_terms``; ``text`` is ignored then)."""
     kind, top = _serve(
         index, text, k, conjunctive, scoring, num_slices, round_decimals,
-        local_threshold, fetch_budget, block_max, algo,
+        local_threshold, fetch_budget, block_max, algo, terms,
     )
     if kind == "fallback":
-        from .query import top_k
+        from .query import top_k, top_k_terms
 
-        df = top_k(index, text, k=k, conjunctive=conjunctive,
-                   scoring=scoring, round_decimals=round_decimals)
+        if terms is None:
+            df = top_k(index, text, k=k, conjunctive=conjunctive,
+                       scoring=scoring, round_decimals=round_decimals)
+        else:
+            df = top_k_terms(index, terms, k=k, conjunctive=conjunctive,
+                             scoring=scoring, round_decimals=round_decimals)
         return [(r["docid"], r["pid"], r["score"]) for r in df.collect()]
     pid_map = getattr(index, "pid_map", None)
     if pid_map is not None:

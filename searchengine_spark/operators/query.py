@@ -351,6 +351,108 @@ def prf_top_k(
     )
 
 
+def prf_topk_rows(
+    index: InvertedIndex,
+    text: str,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    scoring: str = "bm25",
+    round_decimals: int | None = None,
+    fetch_budget: int | None = None,
+) -> list[tuple[int, str, float]]:
+    """Warm PRF: ``prf_top_k`` as plain (docid, pid, score) rows —
+    both retrieval passes run through the warm MaxScore kernel (zero
+    Spark jobs on a warmed index; the expanded re-run enters via the
+    pre-analyzed ``terms`` bypass, the warm twin of ``top_k_terms``),
+    and the only other work is the feedback scan: one In(docid)
+    postings read over the ``fb_docs`` feedback documents, weight-
+    folded DRIVER-SIDE with the exact relational semantics — per-term
+    docid-ordered float accumulation of ``idf * (1 + log10 tf)``,
+    HALF_UP-rounded at 9 decimals the way Spark's ``F.round`` rounds
+    doubles (shortest-repr decimal, ROUND_HALF_UP), ties term-
+    ascending, expansion appended after the original terms — so the
+    selected expansion set and the final ranking are identical to the
+    relational plan (pytest-pinned).
+
+    Scale posture: the feedback volume (Σ distinct terms over fb_docs
+    documents) is COUNTED before it moves (one scalar job, the field-
+    LRU pattern); past the budget the whole composition delegates to
+    the fully-distributed ``prf_top_k``."""
+    import numpy as np
+
+    from .maxscore import _default_fetch_budget, maxscore_topk_rows
+
+    stem_stop = index.manifest["flags"]["stem_stop"]
+    orig = query_terms(text, stem_stop)
+    first = maxscore_topk_rows(
+        index, text, k=fb_docs, scoring=scoring,
+        round_decimals=round_decimals, fetch_budget=fetch_budget,
+    )
+    if not first:
+        return first
+    fb_ids = [int(d) for d, _, _ in first]
+    cand = (
+        index.postings.filter(
+            F.col("docid").isin(fb_ids) & ~F.col("term").isin(orig)
+        )
+        .join(index.lexicon.select("term", "idf"), "term")
+        .select("term", "docid", "tf", "idf")
+    )
+    if fetch_budget is None:
+        fetch_budget = _default_fetch_budget(index.spark)
+    if cand.count() > fetch_budget:
+        df = prf_top_k(
+            index, text, k=k, fb_docs=fb_docs, fb_terms=fb_terms,
+            scoring=scoring, round_decimals=round_decimals,
+        )
+        return [(r["docid"], r["pid"], r["score"]) for r in df.collect()]
+    pdf = cand.toPandas().sort_values(["term", "docid"])
+    from decimal import ROUND_HALF_UP, Decimal
+
+    w = pdf["idf"].to_numpy(np.float64) * (
+        1.0 + np.log10(pdf["tf"].to_numpy(np.float64))
+    )
+    fb_scores: dict[str, float] = {}
+    start = 0
+    terms_arr = pdf["term"].to_numpy()
+    for t, grp_end in _group_ends(terms_arr):
+        acc = 0.0
+        for x in w[start:grp_end]:
+            acc += float(x)  # docid-ordered fold, like the array fold
+        # Spark's F.round on a double: BigDecimal.valueOf (shortest
+        # decimal repr) then HALF_UP — repr() is the same shortest repr
+        fb_scores[t] = float(
+            Decimal(repr(acc)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+        )
+        start = grp_end
+    expansion = [
+        t
+        for t, _ in sorted(
+            fb_scores.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:fb_terms]
+    ]
+    return maxscore_topk_rows(
+        index, text, k=k, scoring=scoring, round_decimals=round_decimals,
+        fetch_budget=fetch_budget, terms=orig + expansion,
+    )
+
+
+def _group_ends(sorted_arr):
+    """(value, end_index) pairs of each run in a sorted array."""
+    import numpy as np
+
+    if len(sorted_arr) == 0:
+        return
+    bounds = np.nonzero(sorted_arr[1:] != sorted_arr[:-1])[0] + 1
+    start = 0
+    for b in list(bounds) + [len(sorted_arr)]:
+        yield sorted_arr[start], int(b)
+        start = int(b)
+
+
 def fielded_top_k(
     index: InvertedIndex,
     text: str,

@@ -1104,3 +1104,51 @@ def test_search_with_snippets_rows_equal_relational(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="width"):
         search_with_snippets_rows(idx, docs, "spark", width=0)
+
+
+def test_prf_warm_rows_equal_relational(spark, tmp_path):
+    """Warm PRF (prf_topk_rows: warm first pass, driver-side
+    docid-ordered expansion weight fold with Spark-compatible HALF_UP
+    rounding, warm expanded re-run via the pre-analyzed terms bypass)
+    selects the same expansion terms and returns rows identical to the
+    relational prf_top_k — including tfidf scoring, fb knobs, OOV and
+    empty queries, and the count-guarded budget fallback."""
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        InvertedIndex,
+        build_index,
+    )
+    from searchengine_spark.operators.query import prf_top_k, prf_topk_rows
+    from tests.test_round3 import _random_docs
+
+    d = str(tmp_path / "prfidx")
+    build_index(
+        _random_docs(spark), d,
+        IndexConfig(stem_stop=False, compression=False),
+    )
+    idx = InvertedIndex.load(spark, d)
+    idx.warm()
+
+    cases = [
+        ("spark join", {}),
+        ("hash table", {"fb_docs": 3, "fb_terms": 5}),
+        ("merge", {"scoring": "tfidf"}),
+        ("spark join fast", {"round_decimals": 6}),
+        ("zzz_missing spark", {}),
+        ("zzz_all_missing", {}),
+        ("", {}),
+    ]
+    for text, kw in cases:
+        want = [
+            (r["docid"], r["pid"], r["score"])
+            for r in prf_top_k(idx, text, k=10, **kw).collect()
+        ]
+        got = prf_topk_rows(idx, text, k=10, **kw)
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want], (
+            text, kw,
+        )
+        for (_, _, s1), (_, _, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+        # budget fallback: both passes delegate, same rows
+        fb = prf_topk_rows(idx, text, k=10, fetch_budget=0, **kw)
+        assert [(a, b) for a, b, _ in fb] == [(a, b) for a, b, _ in want]
