@@ -78,9 +78,27 @@ def cmd_query(args: argparse.Namespace) -> int:
     if args.blockmax and not args.maxscore:
         raise SystemExit("--blockmax modifies --maxscore (BMW carries "
                          "its own block bounds); add --maxscore")
+    if args.prf and (args.bmw or args.blockmax or args.conjunctive):
+        raise SystemExit("--prf composes its own two disjunctive MaxScore "
+                         "passes; drop --bmw/--blockmax/--conjunctive")
     spark = _spark("se-query")
     idx = InvertedIndex.load(spark, args.index_dir)
     t0 = time.time()
+    if args.prf:
+        from .operators.query import prf_topk_rows
+
+        rows = [
+            {"pid": p, "score": s}
+            for _, p, s in prf_topk_rows(
+                idx, args.text, k=args.k, fb_docs=args.fb_docs,
+                fb_terms=args.fb_terms, scoring=args.scoring,
+            )
+        ]
+        ms = (time.time() - t0) * 1000
+        for r in rows:
+            print(f"{r['pid']}\t{r['score']:.10f}")
+        print(f"({len(rows)} results in {ms:.0f} ms)")
+        return 0
     if args.bmw:
         from .operators.maxscore import bmw_topk
 
@@ -214,17 +232,19 @@ def cmd_repl(args: argparse.Namespace) -> int:
     posting-list LRU (CacheTests.java:36-131's warm posture), so repeat
     terms answer with zero Spark jobs. Directives: ``:k N``,
     ``:conj on|off``, ``:scoring bm25|tfidf``, ``:maxscore on|off``,
-    ``:algo maxscore|bmw|daat``, ``:blockmax on|off``, ``:quit``."""
+    ``:algo maxscore|bmw|daat``, ``:blockmax on|off``,
+    ``:prf on|off`` (warm pseudo-relevance feedback — both retrieval
+    passes through the warm kernel), ``:quit``."""
     from .operators.indexer import InvertedIndex
     from .operators.maxscore import maxscore_topk_rows
-    from .operators.query import top_k
+    from .operators.query import prf_topk_rows, top_k
 
     spark = _spark("se-repl")
     t0 = time.time()
     idx = InvertedIndex.load(spark, args.index_dir).warm()
     print(f"index warmed in {time.time()-t0:.1f}s: {idx.stats}", flush=True)
     k, conjunctive, scoring, use_maxscore = args.k, False, args.scoring, True
-    algo, blockmax = "maxscore", False
+    algo, blockmax, prf = "maxscore", False, False
     stream = open(args.input) if args.input else sys.stdin
     for line in stream:
         line = line.strip()
@@ -259,11 +279,21 @@ def cmd_repl(args: argparse.Namespace) -> int:
                     )
             elif parts[0] == "blockmax" and len(parts) > 1:
                 blockmax = parts[1] == "on"
+            elif parts[0] == "prf" and len(parts) > 1:
+                prf = parts[1] == "on"
             else:
                 print(f"unknown directive: {line}")
             continue
         t1 = time.time()
-        if use_maxscore:
+        if prf:
+            if conjunctive:
+                print(":prf composes disjunctive passes; :conj off first")
+                continue
+            rows = [
+                {"pid": p, "score": s}
+                for _, p, s in prf_topk_rows(idx, line, k=k, scoring=scoring)
+            ]
+        elif use_maxscore:
             # warm path: plain rows, zero Spark jobs on cached terms
             if algo == "bmw" and conjunctive:
                 # report and continue — a bad combination must not
@@ -325,6 +355,13 @@ def main(argv: list[str] | None = None) -> int:
                         "the stored blocks/ bounds")
     q.add_argument("--bmw", action="store_true",
                    help="Block-Max WAND pruning (disjunctive only)")
+    q.add_argument("--prf", action="store_true",
+                   help="pseudo-relevance feedback: expand the query "
+                        "from the top feedback docs, then re-rank")
+    q.add_argument("--fb-docs", type=int, default=5,
+                   help="PRF feedback depth (top docs mined for terms)")
+    q.add_argument("--fb-terms", type=int, default=3,
+                   help="PRF expansion terms appended to the query")
     q.set_defaults(fn=cmd_query)
 
     o = sub.add_parser(

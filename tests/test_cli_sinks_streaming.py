@@ -92,6 +92,31 @@ def test_cli_query_blockmax_matches(built, capsys):
     assert daat == bmm and len(bmm) == 5
 
 
+def test_cli_query_prf_matches_relational(built, capsys, spark):
+    """`query --prf` (warm PRF composition) prints the same page as the
+    relational prf_top_k; contradictory flag combos are rejected."""
+    from searchengine_spark.operators.indexer import InvertedIndex
+    from searchengine_spark.operators.query import prf_top_k
+
+    rc = cli.main(["query", "--index-dir", str(built), "spark join",
+                   "-k", "5", "--prf", "--fb-docs", "3", "--fb-terms", "2"])
+    assert rc == 0
+    page = capsys.readouterr().out.splitlines()[:-1]
+    idx = InvertedIndex.load(spark, str(built))
+    want = [
+        f"{r['pid']}\t{r['score']:.10f}"
+        for r in prf_top_k(idx, "spark join", k=5,
+                           fb_docs=3, fb_terms=2).collect()
+    ]
+    assert page == want and len(page) == 5
+
+    for combo in (["--prf", "--bmw"], ["--prf", "--blockmax"],
+                  ["--prf", "--conjunctive"]):
+        with pytest.raises(SystemExit):
+            cli.main(["query", "--index-dir", str(built), "spark join",
+                      *combo])
+
+
 def test_cli_optimize_idempotent_on_full_build(built, capsys):
     """`optimize` wiring: on an already-complete compression build every
     per-artifact resume check hits, so the command is a cheap no-op that
@@ -136,6 +161,33 @@ def test_cli_repl_directives(built, tmp_path, capsys):
     assert len(pages) == 4  # warm ms, bmw, bmm, relational daat
     assert len(set(pages)) == 1  # all strategies rank-identical
     assert "disjunctive-only" in out
+
+
+def test_cli_repl_prf_directive(built, tmp_path, capsys):
+    """repl `:prf on` answers through the warm PRF composition (same
+    page as `query --prf` at default fb knobs); the rejected prf+conj
+    combination reports and continues instead of killing the session."""
+    import re
+
+    cli.main(["query", "--index-dir", str(built), "spark join", "-k", "5",
+              "--prf"])
+    want = capsys.readouterr().out.splitlines()[:-1]
+
+    qfile = tmp_path / "prf_session.txt"
+    qfile.write_text(
+        ":prf on\n"
+        "spark join\n"
+        ":conj on\n"
+        "spark join\n"
+        ":quit\n"
+    )
+    rc = cli.main(["repl", "--index-dir", str(built), "-k", "5",
+                   "--input", str(qfile)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    pages = re.findall(r"((?:\S+\t\d+\.\d{10}\n)+)\(5 results", out)
+    assert len(pages) == 1 and pages[0].splitlines() == want
+    assert ":conj off first" in out
 
 
 def test_cli_eval_trec(built, tmp_path, capsys):
