@@ -156,6 +156,20 @@ def main() -> None:
                 maxscore_topk_rows(idx, text, k=10, algo="daat")
                 daat_lat.append((time.time() - tq) * 1000)
 
+        # warm PRF: both retrieval passes through the warm kernel plus
+        # a docid-keyed forward-vector LRU for the feedback scan —
+        # zero Spark jobs once the feedback vectors are cached
+        from searchengine_spark.operators.query import prf_topk_rows
+
+        prf_lat: list[float] = []
+        for text in warm_qs:
+            prf_topk_rows(idx, text, k=10)  # populate forward LRU
+        for _ in range(5):
+            for text in warm_qs:
+                tq = time.time()
+                prf_topk_rows(idx, text, k=10)
+                prf_lat.append((time.time() - tq) * 1000)
+
         # batched evaluation throughput: 50 queries in ONE job
         # (QueryPerformancesMain's 6,980-query shape)
         from searchengine_spark.operators.query import batch_top_k
@@ -418,6 +432,7 @@ def main() -> None:
             "query_warm_p50_ms": round(statistics.median(warm_lat), 2),
             "query_warm_bmw_p50_ms": round(statistics.median(bmw_lat), 2),
             "query_warm_daat_p50_ms": round(statistics.median(daat_lat), 2),
+            "query_warm_prf_p50_ms": round(statistics.median(prf_lat), 2),
             "query_warm_bm25f_p50_ms": round(
                 statistics.median(bm25f_lat), 2
             ),

@@ -654,23 +654,25 @@ class FetchOverBudget(Exception):
     fully-distributed relational twin instead."""
 
 
-def _ensure_lru(index, attr: str, terms: list[str], fetch, build):
-    """Shared per-term LRU ensure used by every warm serving cache
-    (content postings, field postings, positions): an ``OrderedDict``
-    at ``index.<attr>``, capped at the reference's 1000-entry
-    Vocabulary cache size (Vocabulary.java:17, CacheTests).
+def _ensure_lru(index, attr: str, terms: list[str], fetch, build,
+                key: str = "term", sort: str = "docid"):
+    """Shared per-key LRU ensure used by every warm serving cache
+    (content postings, field postings, positions — keyed by term; PRF
+    forward vectors — keyed by docid): an ``OrderedDict`` at
+    ``index.<attr>``, capped at the reference's 1000-entry Vocabulary
+    cache size (Vocabulary.java:17, CacheTests).
 
-    The query's already-cached terms are touched (``move_to_end``)
+    The query's already-cached keys are touched (``move_to_end``)
     BEFORE anything is fetched — that keeps the cache truly
     least-recently-used rather than insertion-ordered, and it
-    guarantees the eviction below can never drop a term of the
+    guarantees the eviction below can never drop a key of the
     in-flight query (a cold fetch at the cap used to be able to evict
     a warm term of the SAME query between its membership check and
-    its read). Missing terms are fetched in ONE call —
-    ``fetch(to_fetch)`` returns a pandas frame with ``term``/``docid``
-    columns — and built into entries per term via ``build(sub)``;
-    eviction then drops the oldest entries NOT in the current query
-    down to the cap."""
+    its read). Missing keys are fetched in ONE call —
+    ``fetch(to_fetch)`` returns a pandas frame carrying the ``key``
+    and ``sort`` columns — and built into entries per key via
+    ``build(sub)``; eviction then drops the oldest entries NOT in the
+    current query down to the cap."""
     from collections import OrderedDict
 
     lru = getattr(index, attr, None)
@@ -687,7 +689,7 @@ def _ensure_lru(index, attr: str, terms: list[str], fetch, build):
     if to_fetch:
         pdf = fetch(to_fetch)
         for t in to_fetch:
-            lru[t] = build(pdf[pdf["term"] == t].sort_values("docid"))
+            lru[t] = build(pdf[pdf[key] == t].sort_values(sort))
         cur = set(terms)
         while len(lru) > 1000:
             old = next((x for x in lru if x not in cur), None)

@@ -365,23 +365,32 @@ def prf_topk_rows(
     both retrieval passes run through the warm MaxScore kernel (zero
     Spark jobs on a warmed index; the expanded re-run enters via the
     pre-analyzed ``terms`` bypass, the warm twin of ``top_k_terms``),
-    and the only other work is the feedback scan: one In(docid)
-    postings read over the ``fb_docs`` feedback documents, weight-
-    folded DRIVER-SIDE with the exact relational semantics — per-term
-    docid-ordered float accumulation of ``idf * (1 + log10 tf)``,
-    HALF_UP-rounded at 9 decimals the way Spark's ``F.round`` rounds
-    doubles (shortest-repr decimal, ROUND_HALF_UP), ties term-
-    ascending, expansion appended after the original terms — so the
-    selected expansion set and the final ranking are identical to the
-    relational plan (pytest-pinned).
+    and the only other work is the feedback scan, served from a
+    docid-keyed FORWARD-VECTOR LRU (the doc-major twin of the term-
+    keyed posting LRUs — PRF asks "which terms are in this doc", which
+    a term-major cache cannot answer without scanning the vocabulary):
+    missing feedback docs' (term, tf, idf) vectors are fetched with
+    ONE In(docid) scan, so a repeat or overlapping PRF query costs
+    zero Spark jobs. The expansion weights are folded DRIVER-SIDE with
+    the exact relational semantics — per-term docid-ordered float
+    accumulation of ``idf * (1 + log10 tf)``, HALF_UP-rounded at 9
+    decimals the way Spark's ``F.round`` rounds doubles (shortest-repr
+    decimal, ROUND_HALF_UP), ties term-ascending, expansion appended
+    after the original terms — so the selected expansion set and the
+    final ranking are identical to the relational plan (pytest-pinned).
 
-    Scale posture: the feedback volume (Σ distinct terms over fb_docs
-    documents) is COUNTED before it moves (one scalar job, the field-
-    LRU pattern); past the budget the whole composition delegates to
-    the fully-distributed ``prf_top_k``."""
+    Scale posture: the cold fetch volume (Σ postings rows over the
+    missing feedback documents) is COUNTED before it moves (one scalar
+    job, the field-LRU pattern); past the budget the whole composition
+    delegates to the fully-distributed ``prf_top_k``."""
     import numpy as np
 
-    from .maxscore import _default_fetch_budget, maxscore_topk_rows
+    from .maxscore import (
+        FetchOverBudget,
+        _default_fetch_budget,
+        _ensure_lru,
+        maxscore_topk_rows,
+    )
 
     stem_stop = index.manifest["flags"]["stem_stop"]
     orig = query_terms(text, stem_stop)
@@ -392,30 +401,54 @@ def prf_topk_rows(
     if not first:
         return first
     fb_ids = [int(d) for d, _, _ in first]
-    cand = (
-        index.postings.filter(
-            F.col("docid").isin(fb_ids) & ~F.col("term").isin(orig)
-        )
-        .join(index.lexicon.select("term", "idf"), "term")
-        .select("term", "docid", "tf", "idf")
-    )
     if fetch_budget is None:
         fetch_budget = _default_fetch_budget(index.spark)
-    if cand.count() > fetch_budget:
+
+    def fetch(missing):
+        frame = index.postings.filter(F.col("docid").isin(missing))
+        if frame.count() > fetch_budget:
+            raise FetchOverBudget
+        return (
+            frame.join(index.lexicon.select("term", "idf"), "term")
+            .select("docid", "term", "tf", "idf")
+            .toPandas()
+        )
+
+    def build(sub):
+        return (
+            sub["term"].to_numpy(),
+            sub["tf"].to_numpy(np.float64),
+            sub["idf"].to_numpy(np.float64),
+        )
+
+    try:
+        lru = _ensure_lru(index, "_fwd_lru", fb_ids, fetch, build,
+                          key="docid", sort="term")
+    except FetchOverBudget:
         df = prf_top_k(
             index, text, k=k, fb_docs=fb_docs, fb_terms=fb_terms,
             scoring=scoring, round_decimals=round_decimals,
         )
         return [(r["docid"], r["pid"], r["score"]) for r in df.collect()]
-    pdf = cand.toPandas().sort_values(["term", "docid"])
+    # assemble (term, docid, w) triples from the cached doc vectors and
+    # fold per term in docid-ASC order — the relational plan's exact
+    # accumulation order (terms are distinct within a doc vector)
+    terms_all = np.concatenate([lru[d][0] for d in fb_ids])
+    tfs_all = np.concatenate([lru[d][1] for d in fb_ids])
+    idfs_all = np.concatenate([lru[d][2] for d in fb_ids])
+    docs_all = np.concatenate(
+        [np.full(len(lru[d][0]), d, np.int64) for d in fb_ids]
+    )
+    keep = ~np.isin(terms_all, orig)
+    order = np.lexsort((docs_all[keep], terms_all[keep]))
+    terms_arr = terms_all[keep][order]
     from decimal import ROUND_HALF_UP, Decimal
 
-    w = pdf["idf"].to_numpy(np.float64) * (
-        1.0 + np.log10(pdf["tf"].to_numpy(np.float64))
+    w = idfs_all[keep][order] * (
+        1.0 + np.log10(tfs_all[keep][order])
     )
     fb_scores: dict[str, float] = {}
     start = 0
-    terms_arr = pdf["term"].to_numpy()
     for t, grp_end in _group_ends(terms_arr):
         acc = 0.0
         for x in w[start:grp_end]:

@@ -1149,6 +1149,17 @@ def test_prf_warm_rows_equal_relational(spark, tmp_path):
         )
         for (_, _, s1), (_, _, s2) in zip(got, want):
             assert s1 == pytest.approx(s2, rel=1e-12)
-        # budget fallback: both passes delegate, same rows
+        # budget fallback with a COLD forward cache: the retrieval
+        # passes delegate (Σdf guard) and the feedback fetch raises
+        # over budget -> whole composition delegates; same rows
+        if hasattr(idx, "_fwd_lru"):
+            idx._fwd_lru.clear()
         fb = prf_topk_rows(idx, text, k=10, fetch_budget=0, **kw)
         assert [(a, b) for a, b, _ in fb] == [(a, b) for a, b, _ in want]
+        # warm forward cache: repeat call costs no new fetch (the LRU
+        # already holds the feedback vectors) and stays identical
+        prf_topk_rows(idx, text, k=10, **kw)
+        again = prf_topk_rows(idx, text, k=10, **kw)
+        assert [(a, b) for a, b, _ in again] == [
+            (a, b) for a, b, _ in want
+        ]
