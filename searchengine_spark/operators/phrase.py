@@ -412,12 +412,16 @@ def _positions_volume_bound(rows: dict, uniq: list[str]) -> int:
     return sum(int(rows[t]["df"]) * int(rows[t]["max_tf"]) for t in uniq)
 
 
-def _warm_positional_setup(index, terms: list[str], fetch_budget):
-    """Shared head of the warm phrase/proximity kernels: analyze
-    nothing (terms arrive analyzed, as in the relational surface),
-    resolve df/max_tf from the lexicon memo or a ≤|q|-row point
-    lookup, and apply the volume-bound fetch guard. Returns
-    ``(uniq, dfs, lru)`` or the string ``"missing"`` / ``"fallback"``."""
+def _warm_positional_stats(index, terms: list[str], fetch_budget,
+                           allow_missing: bool = False):
+    """Stats stage of the warm positional head: analyze nothing
+    (terms arrive analyzed, as in the relational surface), resolve
+    df/max_tf from the lexicon memo or a ≤|q|-row point lookup, and
+    apply the volume-bound fetch guard. Returns ``(uniq, dfs)`` or
+    the string ``"missing"`` / ``"fallback"``. With ``allow_missing``
+    the out-of-vocabulary terms are dropped instead (the snippets
+    composition ranks disjunctively, so a missing term costs coverage,
+    not the whole query) — ``"missing"`` then means NO term resolved."""
     from .maxscore import _default_fetch_budget
 
     uniq = list(dict.fromkeys(terms))
@@ -431,16 +435,41 @@ def _warm_positional_setup(index, terms: list[str], fetch_budget):
             .select("term", "df", "max_tf")
             .collect()
         }
-    if any(t not in rows for t in uniq):
+    if allow_missing:
+        uniq = [t for t in uniq if t in rows]
+        if not uniq:
+            return "missing"
+    elif any(t not in rows for t in uniq):
         return "missing"
     if fetch_budget is None:
         fetch_budget = _default_fetch_budget(index.spark)
     if _positions_volume_bound(rows, uniq) > fetch_budget:
         return "fallback"
-    dfs = {t: int(rows[t]["df"]) for t in uniq}
+    return uniq, {t: int(rows[t]["df"]) for t in uniq}
+
+
+def _warm_positional_fetch(index, uniq: list[str]):
+    """Fetch stage of the warm positional head: ensure the terms'
+    position arrays sit in the LRU (ONE In-pushdown scan for the
+    missing ones). Returns the LRU or ``"fallback"`` when any entry
+    is unencodable (docid/position past the composite-key bound)."""
     lru = _ensure_positions_arrays(index, uniq)
     if any(lru[t] is None for t in uniq):
         return "fallback"  # composite key unencodable at this scale
+    return lru
+
+
+def _warm_positional_setup(index, terms: list[str], fetch_budget):
+    """Shared head of the warm phrase/proximity kernels: the stats
+    stage then the fetch stage. Returns ``(uniq, dfs, lru)`` or the
+    string ``"missing"`` / ``"fallback"``."""
+    setup = _warm_positional_stats(index, terms, fetch_budget)
+    if isinstance(setup, str):
+        return setup
+    uniq, dfs = setup
+    lru = _warm_positional_fetch(index, uniq)
+    if isinstance(lru, str):
+        return lru
     return uniq, dfs, lru
 
 
@@ -808,7 +837,7 @@ def search_with_snippets_rows(
     import numpy as np
 
     from ..functions.analysis import tokens_col
-    from .maxscore import _default_fetch_budget, maxscore_topk_rows
+    from .maxscore import maxscore_topk_rows
     from .query import query_terms
 
     if width <= 0:
@@ -830,33 +859,24 @@ def search_with_snippets_rows(
             ).collect()
         ]
 
-    uniq = list(dict.fromkeys(terms))
-    lmap = getattr(index, "lexicon_map", None)
-    if lmap is not None:
-        lrows = {t: lmap[t] for t in uniq if t in lmap}
-    else:
-        lrows = {
-            r["term"]: r
-            for r in index.lexicon.filter(F.col("term").isin(uniq))
-            .select("term", "df", "max_tf")
-            .collect()
-        }
-    present = [t for t in uniq if t in lrows]
-    if not present:
+    setup = _warm_positional_stats(index, terms, fetch_budget,
+                                   allow_missing=True)
+    if setup == "missing":
         return []  # nothing in vocabulary -> no hits either
-    if fetch_budget is None:
-        fetch_budget = _default_fetch_budget(index.spark)
-    if _positions_volume_bound(lrows, present) > fetch_budget:
+    if setup == "fallback":
         return _fallback()
-    lru = _ensure_positions_arrays(index, present)
-    if any(lru[t] is None for t in present):
-        return _fallback()
+    present, _dfs = setup
 
+    # rank BEFORE fetching positions: ranking is zero-job on a warm
+    # index, so a no-hit query never pays the cold positions fetch
     hits = maxscore_topk_rows(
         index, text, k=k, scoring=scoring, fetch_budget=fetch_budget
     )
     if not hits:
         return []
+    lru = _warm_positional_fetch(index, present)
+    if isinstance(lru, str):
+        return _fallback()
 
     # best window per hit: candidates are the doc's query-term
     # occurrences; n(x) = distinct query terms with a position in

@@ -382,7 +382,17 @@ def prf_topk_rows(
     Scale posture: the cold fetch volume (Σ postings rows over the
     missing feedback documents) is COUNTED before it moves (one scalar
     job, the field-LRU pattern); past the budget the whole composition
-    delegates to the fully-distributed ``prf_top_k``."""
+    delegates to the fully-distributed ``prf_top_k``.
+
+    Parity caveat (shared with the whole warm surface): identical
+    expansion selection relies on numpy's libm ``log10`` and float
+    summation agreeing bit-for-bit with the JVM's, and on ``repr``
+    matching Java 17's ``Double.toString`` at the exact 1e-9 HALF_UP
+    boundary — a 1-ulp divergence on a near-tied candidate term could
+    flip the pick. No such divergence is observed on this platform
+    (the equality tests pin both paths end-to-end); a deployment that
+    cannot tolerate even the theoretical edge should serve PRF through
+    the relational ``prf_top_k``."""
     import numpy as np
 
     from .maxscore import (
