@@ -81,9 +81,28 @@ def cmd_query(args: argparse.Namespace) -> int:
     if args.prf and (args.bmw or args.blockmax or args.conjunctive):
         raise SystemExit("--prf composes its own two disjunctive MaxScore "
                          "passes; drop --bmw/--blockmax/--conjunctive")
+    if args.snippets and (args.bmw or args.blockmax or args.conjunctive
+                          or args.prf):
+        raise SystemExit("--snippets composes its own disjunctive ranking "
+                         "pass; drop --bmw/--blockmax/--conjunctive/--prf")
+    if args.snippets and not args.docs:
+        raise SystemExit("--snippets renders from the corpus; add "
+                         "--docs <parquet|table|TSV(.gz)|tar.gz>")
     spark = _spark("se-query")
     idx = InvertedIndex.load(spark, args.index_dir)
     t0 = time.time()
+    if args.snippets:
+        from .operators.phrase import search_with_snippets_rows
+        from .sources.corpus import read_corpus, to_engine_docs
+
+        docs = to_engine_docs(read_corpus(spark, args.docs))
+        rows = search_with_snippets_rows(idx, docs, args.text, k=args.k,
+                                         scoring=args.scoring)
+        ms = (time.time() - t0) * 1000
+        for _, pid, score, _start, _n, snippet in rows:
+            print(f"{pid}\t{score:.10f}\t{snippet or ''}")
+        print(f"({len(rows)} results in {ms:.0f} ms)")
+        return 0
     if args.prf:
         from .operators.query import prf_topk_rows
 
@@ -234,7 +253,9 @@ def cmd_repl(args: argparse.Namespace) -> int:
     ``:conj on|off``, ``:scoring bm25|tfidf``, ``:maxscore on|off``,
     ``:algo maxscore|bmw|daat``, ``:blockmax on|off``,
     ``:prf on|off`` (warm pseudo-relevance feedback — both retrieval
-    passes through the warm kernel), ``:quit``."""
+    passes through the warm kernel), ``:snippets on|off`` (results
+    page with context windows — needs ``--docs`` and a positions
+    build), ``:quit``."""
     from .operators.indexer import InvertedIndex
     from .operators.maxscore import maxscore_topk_rows
     from .operators.query import prf_topk_rows, top_k
@@ -242,9 +263,14 @@ def cmd_repl(args: argparse.Namespace) -> int:
     spark = _spark("se-repl")
     t0 = time.time()
     idx = InvertedIndex.load(spark, args.index_dir).warm()
+    docs_df = None
+    if args.docs:
+        from .sources.corpus import read_corpus, to_engine_docs
+
+        docs_df = to_engine_docs(read_corpus(spark, args.docs))
     print(f"index warmed in {time.time()-t0:.1f}s: {idx.stats}", flush=True)
     k, conjunctive, scoring, use_maxscore = args.k, False, args.scoring, True
-    algo, blockmax, prf = "maxscore", False, False
+    algo, blockmax, prf, snippets = "maxscore", False, False, False
     stream = open(args.input) if args.input else sys.stdin
     for line in stream:
         line = line.strip()
@@ -281,10 +307,36 @@ def cmd_repl(args: argparse.Namespace) -> int:
                 blockmax = parts[1] == "on"
             elif parts[0] == "prf" and len(parts) > 1:
                 prf = parts[1] == "on"
+            elif parts[0] == "snippets" and len(parts) > 1:
+                want = parts[1] == "on"
+                if want and docs_df is None:
+                    print("start the repl with --docs <corpus> to "
+                          "render snippets")
+                elif want and not idx.manifest.get("flags", {}).get(
+                    "positions", False
+                ):
+                    print("index was built without the positions stage; "
+                          "rebuild with --positions to render snippets")
+                else:
+                    snippets = want
             else:
                 print(f"unknown directive: {line}")
             continue
         t1 = time.time()
+        if snippets:
+            if conjunctive or prf:
+                print(":snippets composes its own disjunctive ranking; "
+                      ":conj off / :prf off first")
+                continue
+            from .operators.phrase import search_with_snippets_rows
+
+            page = search_with_snippets_rows(idx, docs_df, line, k=k,
+                                             scoring=scoring)
+            ms = (time.time() - t1) * 1000
+            for _, pid, score, _start, _n, snip in page:
+                print(f"{pid}\t{score:.10f}\t{snip or ''}")
+            print(f"({len(page)} results in {ms:.1f} ms)", flush=True)
+            continue
         if prf:
             if conjunctive:
                 print(":prf composes disjunctive passes; :conj off first")
@@ -362,6 +414,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="PRF feedback depth (top docs mined for terms)")
     q.add_argument("--fb-terms", type=int, default=3,
                    help="PRF expansion terms appended to the query")
+    q.add_argument("--snippets", action="store_true",
+                   help="render a results page: top-k plus each hit's "
+                        "best context window (needs --docs and a "
+                        "positions build)")
+    q.add_argument("--docs", default=None,
+                   help="corpus source for snippet rendering (parquet "
+                        "dir, catalog table, TSV(.gz), or tar.gz)")
     q.set_defaults(fn=cmd_query)
 
     o = sub.add_parser(
@@ -392,6 +451,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--scoring", choices=["bm25", "tfidf"], default="bm25")
     r.add_argument("--input", default=None,
                    help="read queries from a file instead of stdin")
+    r.add_argument("--docs", default=None,
+                   help="corpus source enabling :snippets rendering")
     r.set_defaults(fn=cmd_repl)
 
     args = p.parse_args(argv)

@@ -190,6 +190,58 @@ def test_cli_repl_prf_directive(built, tmp_path, capsys):
     assert ":conj off first" in out
 
 
+def test_cli_snippets_query_and_repl(built, tmp_path, capsys, spark):
+    """`query --snippets --docs` renders the warm results page (same
+    rows as search_with_snippets_rows); repl `:snippets on` prints the
+    same page; the docs-less repl reports instead of enabling; flag
+    combos are rejected."""
+    import re
+
+    from searchengine_spark.operators.indexer import InvertedIndex
+    from searchengine_spark.operators.phrase import search_with_snippets_rows
+    from searchengine_spark.sources.corpus import read_corpus, to_engine_docs
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    rc = cli.main(["query", "--index-dir", str(built), "spark join fast",
+                   "-k", "5", "--snippets", "--docs", src])
+    assert rc == 0
+    page = capsys.readouterr().out.splitlines()[:-1]
+    idx = InvertedIndex.load(spark, str(built))
+    docs = to_engine_docs(read_corpus(spark, src))
+    want = [
+        f"{pid}\t{score:.10f}\t{snip or ''}"
+        for _, pid, score, _s, _n, snip in search_with_snippets_rows(
+            idx, docs, "spark join fast", k=5
+        )
+    ]
+    assert page == want and len(page) == 5
+    assert any(ln.split("\t")[2] for ln in page)  # snippets rendered
+
+    with pytest.raises(SystemExit):  # --snippets without --docs
+        cli.main(["query", "--index-dir", str(built), "x", "--snippets"])
+    with pytest.raises(SystemExit):
+        cli.main(["query", "--index-dir", str(built), "x", "--snippets",
+                  "--docs", src, "--prf"])
+
+    qfile = tmp_path / "snip_session.txt"
+    qfile.write_text(":snippets on\nspark join fast\n:quit\n")
+    rc = cli.main(["repl", "--index-dir", str(built), "-k", "5",
+                   "--input", str(qfile), "--docs", src])
+    assert rc == 0
+    out = capsys.readouterr().out
+    body = re.search(r"((?:\S+\t\d+\.\d{10}\t[^\n]*\n)+)\(5 results", out)
+    assert body and body.group(1).splitlines() == want
+
+    # docs-less repl: directive reports and serving stays non-snippet
+    qfile2 = tmp_path / "snip_less.txt"
+    qfile2.write_text(":snippets on\nspark join\n:quit\n")
+    rc = cli.main(["repl", "--index-dir", str(built), "-k", "3",
+                   "--input", str(qfile2)])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert "--docs" in out2 and "(3 results" in out2
+
+
 def test_cli_eval_trec(built, tmp_path, capsys):
     qfile = tmp_path / "queries.tsv"
     qfile.write_text("q1\tspark join\nq2\thash table\n")
