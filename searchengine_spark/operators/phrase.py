@@ -820,14 +820,16 @@ def search_with_snippets_rows(
 ) -> list[tuple]:
     """Warm results page: ``search_with_snippets`` as plain (docid,
     pid, score, snippet_start, n_matched_terms, snippet) rows — the
-    full interactive composition at ONE Spark job on a warmed index:
-    ranking runs through the warm MaxScore kernel (zero jobs), window
-    selection reads the query terms' positions from the positions LRU
-    and picks each hit's best ``width``-token window driver-side with
-    the same maximize-(distinct terms), tie-earliest-start rule as
-    ``snippet_windows`` (vectorized over the occurrence candidates),
-    and the one job is the k-row docstore read that renders the spans
-    (the pid-sorted docstore contract keeps it O(k) row groups).
+    full interactive composition at AT MOST one Spark job on a warmed
+    index: ranking runs through the warm MaxScore kernel (zero jobs),
+    window selection reads the query terms' positions from the
+    positions LRU and picks each hit's best ``width``-token window
+    driver-side with the same maximize-(distinct terms), tie-earliest-
+    start rule as ``snippet_windows`` (vectorized over the occurrence
+    candidates), and the only job is the k-row docstore read that
+    renders the spans (the pid-sorted docstore contract keeps it O(k)
+    row groups) — itself served from a pid-keyed token LRU on the
+    docs frame, so a repeat page over the same frame is zero-job.
 
     Fallback posture mirrors the other warm kernels: the Σ df·max_tf
     volume bound (or an unencodable positions entry) delegates the
@@ -906,17 +908,31 @@ def search_with_snippets_rows(
         b = int(np.lexsort((cand, -n))[0])
         best[d] = (int(cand[b]), int(n[b]))
 
-    # the ONE job: render the k hit documents' token spans
-    tok_by_pid = {
-        r["pid"]: r["tokens"]
-        for r in docs.filter(
-            F.col("pid").isin([p for _, p, _ in hits])
+    # the (at most one) render job: the k hit documents' token spans,
+    # served from a pid-keyed token LRU attached to the DOCS frame —
+    # not the index — so a different docstore object can never serve
+    # stale tokens; a repeat page over the same frame is zero-job.
+    # A pid absent from the docstore caches as None (the relational
+    # LEFT-join semantics), so it is not re-fetched every call.
+    from .maxscore import _ensure_lru
+
+    hit_pids = [p for _, p, _ in hits]
+
+    def tok_fetch(missing):
+        return (
+            docs.filter(F.col("pid").isin(missing))
+            .select(
+                "pid",
+                tokens_col(F.col("content"), stem_stop).alias("tokens"),
+            )
+            .toPandas()
         )
-        .select(
-            "pid", tokens_col(F.col("content"), stem_stop).alias("tokens")
-        )
-        .collect()
-    }
+
+    def tok_build(sub):
+        return list(sub["tokens"].iloc[0]) if len(sub) else None
+
+    tok_by_pid = _ensure_lru(docs, "_render_tokens_lru", hit_pids,
+                             tok_fetch, tok_build, key="pid", sort="pid")
     out = []
     for d, p, s in hits:
         b = best.get(d)

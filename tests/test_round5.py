@@ -1163,3 +1163,47 @@ def test_prf_warm_rows_equal_relational(spark, tmp_path):
         assert [(a, b) for a, b, _ in again] == [
             (a, b) for a, b, _ in want
         ]
+
+
+def test_snippets_render_token_lru_zero_job_and_per_frame(spark, tmp_path):
+    """The snippets render is served from a pid-keyed token LRU on the
+    DOCS frame: a repeat page over the same frame runs ZERO Spark jobs,
+    and a different docstore frame keeps its own cache (no stale
+    tokens across frames)."""
+    from searchengine_spark.operators.indexer import (
+        IndexConfig,
+        InvertedIndex,
+        build_index,
+    )
+    from searchengine_spark.operators.phrase import search_with_snippets_rows
+    from tests.test_round3 import _random_docs
+
+    docs = _random_docs(spark)
+    d = str(tmp_path / "tlidx")
+    build_index(
+        docs, d,
+        IndexConfig(stem_stop=False, compression=True, positions=True),
+    )
+    idx = InvertedIndex.load(spark, d)
+    idx.warm()
+
+    def next_job_id():
+        return int(str(spark.sparkContext._jsc.sc().dagScheduler().nextJobId()))
+
+    first = search_with_snippets_rows(idx, docs, "spark join", k=10)
+    assert first
+    n0 = next_job_id()
+    again = search_with_snippets_rows(idx, docs, "spark join", k=10)
+    assert next_job_id() - n0 == 0  # repeat page: zero Spark jobs
+    assert again == first
+
+    # a DIFFERENT docstore frame (one token prepended, shifting
+    # every render window) must not see the first frame's cached tokens
+    docs2 = docs.select(
+        "pid", F.concat(F.lit("zzzz "), F.col("content")).alias("content")
+    )
+    page2 = search_with_snippets_rows(idx, docs2, "spark join", k=10)
+    assert [r[:3] for r in page2] == [r[:3] for r in first]  # same ranking
+    snips1 = [r[5] for r in first if r[5] is not None]
+    snips2 = [r[5] for r in page2 if r[5] is not None]
+    assert snips1 and snips2 and snips1 != snips2  # rendered from docs2
