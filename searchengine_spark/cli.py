@@ -95,6 +95,10 @@ def cmd_query(args: argparse.Namespace) -> int:
         from .operators.phrase import search_with_snippets_rows
         from .sources.corpus import read_corpus, to_engine_docs
 
+        if not idx.manifest.get("flags", {}).get("positions", False):
+            raise SystemExit("index was built without the positions "
+                             "stage; rebuild with --positions to "
+                             "render snippets")
         docs = to_engine_docs(read_corpus(spark, args.docs))
         rows = search_with_snippets_rows(idx, docs, args.text, k=args.k,
                                          scoring=args.scoring)
@@ -327,6 +331,11 @@ def cmd_repl(args: argparse.Namespace) -> int:
             if conjunctive or prf:
                 print(":snippets composes its own disjunctive ranking; "
                       ":conj off / :prf off first")
+                continue
+            if algo != "maxscore" or blockmax or not use_maxscore:
+                print(":snippets ranks through warm MaxScore; "
+                      ":algo maxscore / :blockmax off / :maxscore on "
+                      "first")
                 continue
             from .operators.phrase import search_with_snippets_rows
 

@@ -340,6 +340,10 @@ def proximity_search_indexed(
 # cannot be encoded (the key would overflow int64) — such terms get a
 # None LRU entry and the kernels delegate to the distributed plan
 _KEY_SHIFT = 32
+
+# sentinel: pid absent from the docstore (distinct from a present row
+# whose NULL content renders a NULL snippet)
+_MISSING_DOC = object()
 _KEY_SAFE = 1 << 31
 
 
@@ -870,9 +874,11 @@ def search_with_snippets_rows(
     present, _dfs = setup
 
     # rank BEFORE fetching positions: ranking is zero-job on a warm
-    # index, so a no-hit query never pays the cold positions fetch
+    # index, so a no-hit query never pays the cold positions fetch;
+    # the terms= bypass skips re-analyzing the text a second time
     hits = maxscore_topk_rows(
-        index, text, k=k, scoring=scoring, fetch_budget=fetch_budget
+        index, text, k=k, scoring=scoring, fetch_budget=fetch_budget,
+        terms=terms,
     )
     if not hits:
         return []
@@ -929,16 +935,26 @@ def search_with_snippets_rows(
         )
 
     def tok_build(sub):
-        return list(sub["tokens"].iloc[0]) if len(sub) else None
+        if not len(sub):
+            return _MISSING_DOC  # pid absent -> all-NULL snippet cols
+        toks = sub["tokens"].iloc[0]
+        # NULL content tokenizes to a NULL array: the relational twin
+        # keeps the positions-derived window columns and NULLs only
+        # the rendered snippet (snippet_windows joins the row, the
+        # token slice is NULL) — None here means exactly that
+        return None if toks is None else list(toks)
 
     tok_by_pid = _ensure_lru(docs, "_render_tokens_lru", hit_pids,
                              tok_fetch, tok_build, key="pid", sort="pid")
     out = []
     for d, p, s in hits:
         b = best.get(d)
-        toks = tok_by_pid.get(p)
-        if b is None or toks is None:
+        toks = tok_by_pid.get(p, _MISSING_DOC)
+        if b is None or toks is _MISSING_DOC:
             out.append((int(d), p, float(s), None, None, None))
+        elif toks is None:
+            x, n_m = b
+            out.append((int(d), p, float(s), x, n_m, None))
         else:
             x, n_m = b
             out.append(

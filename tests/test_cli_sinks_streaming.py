@@ -224,11 +224,19 @@ def test_cli_snippets_query_and_repl(built, tmp_path, capsys, spark):
                   "--docs", src, "--prf"])
 
     qfile = tmp_path / "snip_session.txt"
-    qfile.write_text(":snippets on\nspark join fast\n:quit\n")
+    qfile.write_text(
+        ":snippets on\n"
+        ":algo bmw\n"
+        "spark join fast\n"      # reported: snippets rank via maxscore
+        ":algo maxscore\n"
+        "spark join fast\n"
+        ":quit\n"
+    )
     rc = cli.main(["repl", "--index-dir", str(built), "-k", "5",
                    "--input", str(qfile), "--docs", src])
     assert rc == 0
     out = capsys.readouterr().out
+    assert ":algo maxscore" in out  # the bmw+snippets combo reported
     body = re.search(r"((?:\S+\t\d+\.\d{10}\t[^\n]*\n)+)\(5 results", out)
     assert body and body.group(1).splitlines() == want
 
@@ -240,6 +248,22 @@ def test_cli_snippets_query_and_repl(built, tmp_path, capsys, spark):
     assert rc == 0
     out2 = capsys.readouterr().out
     assert "--docs" in out2 and "(3 results" in out2
+
+
+def test_cli_query_snippets_needs_positions(tmp_path, capsys):
+    """`query --snippets` on an index built WITHOUT --positions exits
+    with the rebuild hint instead of a raw positions-property
+    traceback (the repl's guard, applied to the one-shot path)."""
+    idx_dir = str(tmp_path / "nopos")
+    rc = cli.main(
+        ["build", "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--index-dir", idx_dir, "--overwrite"]
+    )
+    assert rc == 0
+    with pytest.raises(SystemExit, match="--positions"):
+        cli.main(["query", "--index-dir", idx_dir, "spark join",
+                  "--snippets", "--docs",
+                  "/root/testdata/sf0.001/documents.parquet"])
 
 
 def test_cli_eval_trec(built, tmp_path, capsys):

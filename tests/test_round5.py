@@ -1187,15 +1187,40 @@ def test_snippets_render_token_lru_zero_job_and_per_frame(spark, tmp_path):
     idx = InvertedIndex.load(spark, d)
     idx.warm()
 
-    def next_job_id():
-        return int(str(spark.sparkContext._jsc.sc().dagScheduler().nextJobId()))
-
     first = search_with_snippets_rows(idx, docs, "spark join", k=10)
     assert first
-    n0 = next_job_id()
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
     again = search_with_snippets_rows(idx, docs, "spark join", k=10)
-    assert next_job_id() - n0 == 0  # repeat page: zero Spark jobs
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after  # repeat page: zero Spark jobs
     assert again == first
+
+    # a docstore row with NULL content renders a NULL-snippet row
+    # (same LEFT semantics as a missing row) instead of crashing the
+    # token builder
+    from searchengine_spark.operators.phrase import search_with_snippets
+
+    null_pid = first[0][1]
+    docs_null = docs.select(
+        "pid",
+        F.when(F.col("pid") == null_pid, F.lit(None))
+        .otherwise(F.col("content"))
+        .alias("content"),
+    )
+    want_null = [
+        (r["docid"], r["pid"], r["score"], r["snippet_start"],
+         r["n_matched_terms"], r["snippet"])
+        for r in search_with_snippets(
+            idx, docs_null, "spark join", k=10
+        ).collect()
+    ]
+    got_null = search_with_snippets_rows(idx, docs_null, "spark join", k=10)
+    assert got_null == want_null
+    # present-but-NULL-content row: window columns kept (from the
+    # index positions), only the rendered snippet is NULL
+    assert got_null[0][1] == null_pid
+    assert got_null[0][3] is not None and got_null[0][5] is None
 
     # a DIFFERENT docstore frame (one token prepended, shifting
     # every render window) must not see the first frame's cached tokens
