@@ -28,12 +28,19 @@ def read_corpus(spark: SparkSession, source: str) -> DataFrame:
     """``source`` = catalog table name (no slash), a ``pid\\ttext``
     TSV(.gz) file — the reference's native MS MARCO collection format
     (Spimi.java:251-255) — a ``.tar.gz``/``.tgz`` archive wrapping that
-    TSV (Spimi.java:71-81 compressed-read mode), or a parquet path."""
+    TSV (Spimi.java:71-81 compressed-read mode), a ``.jsonl``/
+    ``.ndjson``(.gz) document dump, a ``files:<dir>`` tree of raw
+    source files (one doc per file, pid = file path), or a parquet
+    path."""
     low = source.lower()
+    if low.startswith("files:"):
+        return read_files_corpus(spark, source[len("files:"):])
     if low.endswith((".tar.gz", ".tgz")):
         return read_targz_corpus(spark, source)
     if low.endswith((".tsv", ".tsv.gz", ".txt", ".txt.gz")):
         return read_tsv_corpus(spark, source)
+    if low.endswith((".jsonl", ".jsonl.gz", ".ndjson", ".ndjson.gz")):
+        return read_jsonl_corpus(spark, source)
     if "/" not in source:
         return spark.read.table(source)
     return spark.read.parquet(source)
@@ -92,6 +99,63 @@ def read_targz_corpus(spark: SparkSession, path: str) -> DataFrame:
     return _parse_tsv_lines(spark.createDataFrame(rdd, "value string"))
 
 
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines document dump — the common interchange format of
+    LLM-pretraining corpora (one ``{"id": ..., "text": ...}`` object
+    per line; The Pile / RedPajama / Dolma all ship this shape).
+    Content is left byte-exact (no non-ASCII strip — matches the
+    parquet path: the analysis chain normalizes at tokenize time, so
+    the per-row content sha256 invariant survives the read).
+
+    Pass an explicit ``schema`` ("id string, text string") to skip
+    Spark's inference scan; without one, inference samples 10% of the
+    input (a full extra pass at 100 TB is never acceptable — malformed
+    rows land in ``_corrupt_record`` and are dropped by the schema
+    adapter, same fate as the TSV reader's tab-less lines). ``.gz``
+    inputs decompress transparently but are single-stream reads, like
+    the TSV path; parallelism returns at the dense-id range shuffle.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("samplingRatio", 0.1)
+    return reader.json(path)
+
+
+def read_files_corpus(
+    spark: SparkSession, root: str, glob: str | None = None
+) -> DataFrame:
+    """One-document-per-file tree of raw source files (the shape a
+    source-code corpus has BEFORE it is tabularized into the
+    ``(repo, path, commit, lang, content)`` Iceberg table): pid = the
+    file's path URI, content = its bytes decoded as UTF-8 (malformed
+    sequences become U+FFFD via ``make_valid_utf8`` — ANSI ``decode``
+    would abort the whole scan on one bad file; the replacement chars
+    are then removed downstream by the analysis chain's non-ASCII
+    strip. The byte-exact original stays available in the
+    ``binaryFile`` source if a sha256 lineage column is needed).
+
+    ``binaryFile`` is the idiomatic DataFrame source here: it
+    parallelizes across files (one whole file per row — source files
+    are small; there is nothing to split) and prunes on the ``path``/
+    ``length`` partition columns. Dispatch via ``read_corpus(spark,
+    "files:<dir>")`` — extension sniffing cannot distinguish a tree of
+    code files from a parquet dataset directory, so the mode is
+    explicit."""
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "true"
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(root).select(
+        F.col("path").alias("pid"),
+        F.make_valid_utf8(F.col("content").cast("string")).alias("content"),
+    )
+
+
 def to_engine_docs(df: DataFrame) -> DataFrame:
     """Adapt any supported corpus schema to (pid, content)."""
     cols = set(df.columns)
@@ -104,6 +168,14 @@ def to_engine_docs(df: DataFrame) -> DataFrame:
             F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pid"),
             F.col("text").alias("content"),
         )
+    if {"id", "text"} <= cols:
+        # JSONL dump shape ({"id": ..., "text": ...}); ids are opaque
+        # strings, kept verbatim. NULL-id/text rows (including JSON
+        # _corrupt_record spills) are dropped like tab-less TSV lines.
+        return df.select(
+            F.col("id").cast("string").alias("pid"),
+            F.col("text").alias("content"),
+        ).filter(F.col("pid").isNotNull() & F.col("content").isNotNull())
     if {"pid", "content"} <= cols:
         return df.select("pid", "content")
     raise ValueError(f"unsupported corpus schema: {sorted(cols)}")
