@@ -16,7 +16,9 @@ evaluation harness (QueryPerformancesMain).
 
 ``build --input`` accepts a parquet dir, a catalog (Iceberg) table
 name, a ``pid\\ttext`` TSV (MS MARCO collection.tsv, the reference's
-native format), or a ``.tar.gz`` containing it (Spimi.java:71-81).
+native format), a ``.tar.gz`` containing it (Spimi.java:71-81), a
+``.jsonl``/``.ndjson``(.gz) document dump, or ``files:<dir>`` to
+index a tree of raw source files (one doc per file, pid = path).
 `eval` reads `qid\ttext` lines (QueryPerformancesMain.java:64-99) and
 writes a trec_eval run file. On a cluster, submit with
 ``spark-submit --py-files searchengine_spark.zip path/to/launcher.py``
@@ -390,7 +392,8 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build the inverted index")
     b.add_argument(
         "--input", required=True,
-        help="parquet dir, catalog table, pid\\ttext TSV(.gz), or tar.gz",
+        help="parquet dir, catalog table, pid\\ttext TSV(.gz), tar.gz, "
+             "jsonl/ndjson(.gz), or files:<dir> source tree",
     )
     b.add_argument("--index-dir", required=True)
     b.add_argument("--no-stem-stop", action="store_true")
