@@ -156,6 +156,70 @@ def read_files_corpus(
     )
 
 
+# extension -> language tag, aligned with the testdata code table's
+# lang values ('py', 'java', 'go', 'rust', 'md'); unknown extensions
+# fall through to the raw extension, extension-less files to 'text'
+_EXT_LANG = {
+    "py": "py", "java": "java", "go": "go", "rs": "rust", "md": "md",
+    "js": "js", "ts": "ts", "c": "c", "h": "c", "cpp": "cpp",
+    "cc": "cpp", "hpp": "cpp", "cs": "cs", "rb": "rb", "php": "php",
+    "scala": "scala", "kt": "kt", "swift": "swift", "sh": "sh",
+    "sql": "sql", "html": "html", "css": "css", "json": "json",
+    "yaml": "yaml", "yml": "yaml", "xml": "xml", "txt": "text",
+}
+
+
+def code_table_from_files(
+    spark: SparkSession,
+    root: str,
+    commit: str = "WORKTREE",
+    glob: str | None = None,
+) -> DataFrame:
+    """Tabularize a checkout tree (``root/<repo>/<path...>``) into the
+    north-star code-table shape ``(repo, path, commit, lang, content)``
+    so raw repositories feed the code operators (quality filters,
+    license gate, BM25F fielded search) without a separate ETL step.
+
+    repo = the first path segment under ``root``, path = the rest,
+    commit = the caller-supplied label (a plain tree carries no VCS
+    metadata), lang = extension-mapped tag. All derivations are JVM
+    expressions over the ``binaryFile`` scan — no Python boundary, so
+    the tabularization pipelines into whatever operator follows."""
+    import os
+
+    if "://" not in root and not root.startswith("file:"):
+        root = os.path.abspath(root)
+    marker = root.rstrip("/") + "/"
+    df = read_files_corpus(spark, root, glob=glob)
+    # locate takes the needle as a plain Python string — no SQL-string
+    # escaping of user paths
+    rel = F.substring(
+        F.col("pid"),
+        F.locate(marker, F.col("pid")) + F.lit(len(marker)),
+        F.lit(2147483647),
+    )
+    d = df.select(
+        rel.alias("rel"), F.col("content")
+    ).filter(F.col("rel") != "")
+    ext = F.lower(F.regexp_extract(F.col("rel"), r"\.([^./]+)$", 1))
+    lang_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_LANG.items() for x in kv]
+    )
+    has_dir = F.instr(F.col("rel"), "/") > 0
+    return d.select(
+        F.when(has_dir, F.substring_index(F.col("rel"), "/", 1))
+        .otherwise(F.lit("")).alias("repo"),
+        F.when(has_dir, F.expr("substring(rel, instr(rel, '/') + 1)"))
+        .otherwise(F.col("rel")).alias("path"),
+        F.lit(commit).alias("commit"),
+        F.coalesce(
+            lang_map[ext],
+            F.when(ext != "", ext).otherwise(F.lit("text")),
+        ).alias("lang"),
+        F.col("content"),
+    )
+
+
 def to_engine_docs(df: DataFrame) -> DataFrame:
     """Adapt any supported corpus schema to (pid, content)."""
     cols = set(df.columns)

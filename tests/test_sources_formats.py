@@ -6,6 +6,7 @@ import json
 
 from searchengine_spark.operators.query import top_k
 from searchengine_spark.sources.corpus import (
+    code_table_from_files,
     read_corpus,
     read_files_corpus,
     to_engine_docs,
@@ -106,3 +107,33 @@ def test_files_corpus_tree(spark, tmp_path):
 
     # (pid, content) passes the schema adapter unchanged
     assert to_engine_docs(docs).columns == ["pid", "content"]
+
+
+def test_code_table_from_files(spark, tmp_path):
+    root = tmp_path / "checkouts"
+    (root / "alpha/src").mkdir(parents=True)
+    (root / "beta").mkdir()
+    (root / "alpha/src/lib.rs").write_text("fn main() {}\n")
+    (root / "alpha/Makefile").write_text("all:\n\techo hi\n")
+    (root / "beta/app.py").write_text("print('hi')\n")
+    (root / "stray.md").write_text("# top-level file\n")
+
+    table = code_table_from_files(spark, str(root), commit="abc123")
+    assert table.columns == ["repo", "path", "commit", "lang", "content"]
+    rows = {(r["repo"], r["path"]): (r["commit"], r["lang"])
+            for r in table.collect()}
+    assert rows == {
+        ("alpha", "src/lib.rs"): ("abc123", "rust"),
+        ("alpha", "Makefile"): ("abc123", "text"),
+        ("beta", "app.py"): ("abc123", "py"),
+        ("", "stray.md"): ("abc123", "md"),
+    }
+
+    # feeds the code operators and the engine adapter directly
+    from searchengine_spark.operators.codestats import code_file_stats
+    from searchengine_spark.operators.indexer import docs_from_code_table
+
+    stats = code_file_stats(table)
+    assert stats.filter("repo = 'beta'").count() == 1
+    pids = [r["pid"] for r in docs_from_code_table(table).collect()]
+    assert "beta/app.py@abc123" in pids
