@@ -135,6 +135,7 @@ def _load() -> None:
         curation,
         dedup,
         engine_extra,
+        forks,
         multimodal,
         phrase,
         related,

@@ -115,6 +115,7 @@ MERGES: list[Union | Join] = [
     Union("dedup_pairs_jaccard", [
         Part("dedup_ngram_jaccard", "ngram_exact"),
         Part("dedup_minhash_lsh", "minhash_lsh"),
+        Part("dedup_simhash", "simhash"),  # pads jaccard/hamming NULL
     ], mode_col="method"),
     Union("decontaminate", [
         Part("decontaminate_13gram", "exact_13gram",

@@ -1,0 +1,91 @@
+"""Repo-level fork detection (operators/forks.py): planted forks vs a
+brute-force set-Jaccard oracle, cluster collapse, null handling."""
+
+import itertools
+
+import pytest
+
+from searchengine_spark.operators.forks import (
+    collapse_forks,
+    fork_clusters,
+    fork_pairs,
+)
+
+# repoA: 12 distinct blobs; repoDup: exact copy (J=1); repoFork: 11 of
+# 12 (J=11/13... computed below); repoHalf: 6 of 12 (below threshold);
+# repoOther: disjoint
+_BLOBS = {f"blob-{i}": f"content of file number {i} lorem ipsum" for i in range(12)}
+
+
+def _rows():
+    rows = []
+    for path, text in _BLOBS.items():
+        rows.append(("repoA", path, text))
+        rows.append(("repoDup", path, text))
+    for i, (path, text) in enumerate(_BLOBS.items()):
+        if i != 0:
+            rows.append(("repoFork", f"moved/{path}", text))
+        if i % 2 == 0:
+            rows.append(("repoHalf", path, text))
+    rows.append(("repoOther", "x.py", "entirely different content"))
+    rows.append(("repoNull", "broken.bin", None))
+    return rows
+
+
+def _table(spark):
+    return spark.createDataFrame(
+        [(r, p, "c0", "py", t) for r, p, t in _rows()],
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+def _brute_pairs(threshold):
+    sets = {}
+    for r, _, t in _rows():
+        if t is not None:
+            sets.setdefault(r, set()).add(t)
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= threshold:
+            out[(a, b)] = round(j, 9)
+    return out
+
+
+def test_fork_pairs_match_brute_force(spark):
+    got = {
+        (r["repo_a"], r["repo_b"]): r["jaccard"]
+        for r in fork_pairs(_table(spark)).collect()
+    }
+    want = _brute_pairs(0.7)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+    # sanity on the planted geometry itself
+    assert want[("repoA", "repoDup")] == 1.0
+    assert want[("repoA", "repoFork")] == pytest.approx(11 / 12)
+    assert ("repoA", "repoHalf") not in want  # 6/12 = 0.5 < 0.7
+
+
+def test_fork_clusters_and_collapse(spark):
+    t = _table(spark)
+    labels = {
+        r["repo"]: r["canonical_repo"] for r in fork_clusters(t).collect()
+    }
+    assert labels["repoA"] == "repoA"
+    assert labels["repoDup"] == "repoA"
+    assert labels["repoFork"] == "repoA"
+    # below-threshold and disjoint repos are their own clusters
+    assert labels["repoHalf"] == "repoHalf"
+    assert labels["repoOther"] == "repoOther"
+
+    kept = collapse_forks(t)
+    kept_repos = {r["repo"] for r in kept.select("repo").distinct().collect()}
+    assert kept_repos == {"repoA", "repoHalf", "repoOther", "repoNull"}
+    # the canonical repo keeps ALL its rows
+    assert kept.filter("repo = 'repoA'").count() == 12
+
+
+def test_fork_pairs_bands_must_divide_k(spark):
+    with pytest.raises(ValueError):
+        fork_pairs(_table(spark), k=16, bands=5)
