@@ -130,6 +130,27 @@ def test_dedup_plans_have_no_cross_joins(spark):
     release_caches()
 
 
+def test_fork_pairs_plan_shape(spark):
+    """Repo fork detection must stay in the LSH shape: band equi-joins
+    only (no cross join), and the k min-hash signature folds as ONE
+    partial-aggregatable hash aggregate over (repo, sha) rows — never
+    a per-repo array materialization."""
+    from searchengine_spark.operators.forks import fork_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    table = docs.selectExpr(
+        "concat('r', doc_id % 5) AS repo",
+        "concat('f', doc_id) AS path",
+        "'c' AS commit", "'py' AS lang", "text AS content",
+    )
+    plan = _formatted_plan(fork_pairs(table))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # signature stage: partial agg before the exchange (map-side mins)
+    assert "partial_min" in plan
+    assert "collect_list" not in plan and "collect_set" not in plan
+
+
 def test_ann_plans_have_no_cartesian_product(spark):
     """ANN operators: the bucketed/IVF paths join on equi-keys; the
     brute-force paths broadcast the tiny side (a BroadcastNestedLoop
