@@ -263,6 +263,29 @@ def main() -> None:
             lambda: duplicate_clusters(docs_raw).count(), release_caches
         )
 
+        # repo-level fork detection on a synthesized many-repo code
+        # table (map-side minhash aggregates + band join + verify)
+        from searchengine_spark.operators.forks import fork_pairs
+
+        base_tbl = docs_raw.selectExpr(
+            "concat('r', doc_id % 199) AS repo",
+            "concat('f', doc_id) AS path",
+            "'c' AS commit", "'py' AS lang", "text AS content",
+        )
+        # plant forks of 10 repos (~90% of their files) so the
+        # verification stage runs on real candidates too
+        code_tbl = base_tbl.unionByName(
+            docs_raw.filter("doc_id % 199 < 10 AND doc_id % 10 != 3")
+            .selectExpr(
+                "concat('fork', doc_id % 199) AS repo",
+                "concat('f', doc_id) AS path",
+                "'c' AS commit", "'py' AS lang", "text AS content",
+            )
+        )
+        timings["repo_fork_pairs"] = best_of(
+            lambda: fork_pairs(code_tbl).count()
+        )
+
         # exact-substring dedup (hash-keyed gram shuffle, the at-scale
         # configuration) and embedding SemDeDup at the same sf
         from searchengine_spark.operators.dedup import substring_dedup_corpus
