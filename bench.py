@@ -265,7 +265,10 @@ def main() -> None:
 
         # repo-level fork detection on a synthesized many-repo code
         # table (map-side minhash aggregates + band join + verify)
-        from searchengine_spark.operators.forks import fork_pairs
+        from searchengine_spark.operators.forks import (
+            fork_pairs,
+            release_caches as release_fork_caches,
+        )
 
         base_tbl = docs_raw.selectExpr(
             "concat('r', doc_id % 199) AS repo",
@@ -283,7 +286,7 @@ def main() -> None:
             )
         )
         timings["repo_fork_pairs"] = best_of(
-            lambda: fork_pairs(code_tbl).count()
+            lambda: fork_pairs(code_tbl).count(), release_fork_caches
         )
 
         # exact-substring dedup (hash-keyed gram shuffle, the at-scale

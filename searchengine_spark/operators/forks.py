@@ -40,9 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cacheutil import make_cache_registry
 from .dedup import MINHASH_PRIME, _affine_params, connected_components
 from .entry_ops import register
 from .textstats import portable_hash, portable_hash_sql
+
+_cached, release_caches = make_cache_registry()
 
 REPO_JACCARD_THRESHOLD = 0.7
 # r = k/bands = 2 rows per band: catch probability 1-(1-J^2)^8 is
@@ -120,8 +123,7 @@ def fork_pairs(
     blob-set Jaccard >= threshold, repo_a < repo_b."""
     if k % bands:
         raise ValueError(f"bands must divide k (got k={k}, bands={bands})")
-    shas = repo_file_shas(code_table)
-    shas.persist()
+    shas = _cached(repo_file_shas(code_table))
     band = _band_rows(_repo_signatures(shas, k), k, bands)
     a, b = band.alias("a"), band.alias("b")
     cands = (
@@ -177,13 +179,14 @@ def fork_clusters(
     map to themselves). Transitivity via the gate-verified
     ``connected_components`` loop over dense repo ids — dense ids are
     assigned in repo order, so the min-label cluster representative IS
-    the min repo name."""
+    the min repo name. (assign_dense_ids' internal persist lives in
+    the indexer's _PERSIST_HANDLES registry; this module's
+    ``release_caches`` frees only the frames cached here.)"""
     from .indexer import assign_dense_ids
 
     pairs = fork_pairs(code_table, threshold, k, bands)
     repos = code_table.select("repo").distinct()
-    rids = assign_dense_ids(repos, ["repo"], id_col="doc_id")
-    rids.persist()
+    rids = _cached(assign_dense_ids(repos, ["repo"], id_col="doc_id"))
     e = (
         pairs.join(
             rids.select(
