@@ -113,6 +113,28 @@ def _band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("repo", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
+def exact_repo_groups(shas: DataFrame) -> DataFrame:
+    """(repo, rep_repo): hash-exact identical-blob-set groups, rep =
+    min repo name. Two order-independent commutative sums over the
+    60-bit blob hashes plus the set size key the group — associative,
+    so one map-side-combinable aggregate per repo, no sorted-set
+    materialization. Hash-exact in the same sense as the sha256 exact
+    dedup operators (collision odds ~2^-120 across the two p~2^31
+    sums and the count)."""
+    hp = portable_hash(F.col("sha")) % F.lit(MINHASH_PRIME)
+    (a1, b1), (a2, b2) = _affine_params(2)
+    sig = shas.groupBy("repo").agg(
+        F.count("*").alias("_n"),
+        F.sum((hp * F.lit(a1) + F.lit(b1)) % F.lit(MINHASH_PRIME)).alias("_s1"),
+        F.sum((hp * F.lit(a2) + F.lit(b2)) % F.lit(MINHASH_PRIME)).alias("_s2"),
+    )
+    key = ["_n", "_s1", "_s2"]
+    reps = sig.groupBy(*key).agg(F.min("repo").alias("rep_repo"))
+    # agg-min + equi-join back, NOT collect_list: a family of 10^6
+    # identical forks must never become one array row
+    return sig.join(reps, key).select("repo", "rep_repo")
+
+
 def fork_pairs(
     code_table: DataFrame,
     threshold: float = REPO_JACCARD_THRESHOLD,
@@ -120,10 +142,22 @@ def fork_pairs(
     bands: int = FORK_MINHASH_BANDS,
 ) -> DataFrame:
     """(repo_a, repo_b, jaccard) for LSH-caught repo pairs whose EXACT
-    blob-set Jaccard >= threshold, repo_a < repo_b."""
+    blob-set Jaccard >= threshold, repo_a < repo_b.
+
+    NB: within a family of IDENTICAL forks the pair list is inherently
+    quadratic (every pair really is a fork pair at J=1); consumers that
+    only need the grouping should use ``fork_clusters``, which
+    collapses identical repos BEFORE the band join and unites them with
+    linear star edges instead."""
     if k % bands:
         raise ValueError(f"bands must divide k (got k={k}, bands={bands})")
     shas = _cached(repo_file_shas(code_table))
+    return _pairs_from_shas(shas, threshold, k, bands)
+
+
+def _pairs_from_shas(
+    shas: DataFrame, threshold: float, k: int, bands: int
+) -> DataFrame:
     band = _band_rows(_repo_signatures(shas, k), k, bands)
     a, b = band.alias("a"), band.alias("b")
     cands = (
@@ -184,7 +218,28 @@ def fork_clusters(
     ``release_caches`` frees only the frames cached here.)"""
     from .indexer import assign_dense_ids
 
-    pairs = fork_pairs(code_table, threshold, k, bands)
+    if k % bands:
+        raise ValueError(f"bands must divide k (got k={k}, bands={bands})")
+    shas = _cached(repo_file_shas(code_table))
+    groups = _cached(exact_repo_groups(shas))
+    # identical-fork families are collapsed BEFORE the band join: a
+    # popular repo's 10^6 unmodified forks would otherwise share one
+    # band bucket and the candidate self-join would go quadratic in
+    # the family size. The family is united by m-1 star edges instead,
+    # and only its representative enters LSH — label-identical to the
+    # all-pairs graph, because an identical twin shares every
+    # above-threshold neighbor of its representative.
+    star = groups.filter(F.col("repo") != F.col("rep_repo")).select(
+        F.col("rep_repo").alias("repo_a"), F.col("repo").alias("repo_b")
+    )
+    rep_shas = shas.join(
+        groups.filter(F.col("repo") == F.col("rep_repo")).select("repo"),
+        "repo",
+        "left_semi",
+    )
+    pairs = _pairs_from_shas(rep_shas, threshold, k, bands).select(
+        "repo_a", "repo_b"
+    ).unionByName(star)
     repos = code_table.select("repo").distinct()
     rids = _cached(assign_dense_ids(repos, ["repo"], id_col="doc_id"))
     e = (

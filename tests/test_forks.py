@@ -89,3 +89,43 @@ def test_fork_clusters_and_collapse(spark):
 def test_fork_pairs_bands_must_divide_k(spark):
     with pytest.raises(ValueError):
         fork_pairs(_table(spark), k=16, bands=5)
+    with pytest.raises(ValueError):
+        fork_clusters(_table(spark), k=16, bands=5)
+
+
+def test_identical_fork_family_collapses_before_lsh(spark):
+    """An identical-fork family (same blob set under m repo names) is
+    united by star edges to its min-name representative, and clusters
+    are label-identical to the all-pairs graph: the near-fork of the
+    family joins the SAME cluster through the representative."""
+    rows = []
+    blobs = [f"text body {i}" for i in range(10)]
+    for m in range(6):  # fam0..fam5: identical copies
+        for i, t in enumerate(blobs):
+            rows.append((f"fam{m}", f"p{i}", t))
+    for i, t in enumerate(blobs):  # near fork of the family (9/10)
+        if i:
+            rows.append(("nearfam", f"q{i}", t))
+    rows.append(("loner", "x", "unrelated content"))
+    t = spark.createDataFrame(
+        [(r, p, "c", "py", x) for r, p, x in rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    labels = {r["repo"]: r["canonical_repo"] for r in fork_clusters(t).collect()}
+    assert labels == {
+        **{f"fam{m}": "fam0" for m in range(6)},
+        "nearfam": "fam0",
+        "loner": "loner",
+    }
+
+    from searchengine_spark.operators.forks import exact_repo_groups, repo_file_shas
+
+    groups = {
+        r["repo"]: r["rep_repo"]
+        for r in exact_repo_groups(repo_file_shas(t)).collect()
+    }
+    assert groups == {
+        **{f"fam{m}": "fam0" for m in range(6)},
+        "nearfam": "nearfam",
+        "loner": "loner",
+    }
