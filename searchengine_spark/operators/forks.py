@@ -115,20 +115,26 @@ def _band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
 
 def exact_repo_groups(shas: DataFrame) -> DataFrame:
     """(repo, rep_repo): hash-exact identical-blob-set groups, rep =
-    min repo name. Two order-independent commutative sums over the
-    60-bit blob hashes plus the set size key the group — associative,
-    so one map-side-combinable aggregate per repo, no sorted-set
-    materialization. Hash-exact in the same sense as the sha256 exact
-    dedup operators (collision odds ~2^-120 across the two p~2^31
-    sums and the count)."""
+    min repo name. Four order-independent commutative sums over
+    independently re-hashed blob hashes plus the set size key the
+    group — associative, so one map-side-combinable aggregate per
+    repo, no sorted-set materialization. Hash-exact in the same sense
+    as the sha256 exact-dedup operators: a false merge needs two
+    EQUAL-SIZE repos whose four independent ~2^31-range sums all
+    collide (>=120 bits of key), negligible even against the ~2^60
+    equal-size repo pairs of a 10^9-repo corpus."""
     hp = portable_hash(F.col("sha")) % F.lit(MINHASH_PRIME)
-    (a1, b1), (a2, b2) = _affine_params(2)
+    params = _affine_params(4)
     sig = shas.groupBy("repo").agg(
         F.count("*").alias("_n"),
-        F.sum((hp * F.lit(a1) + F.lit(b1)) % F.lit(MINHASH_PRIME)).alias("_s1"),
-        F.sum((hp * F.lit(a2) + F.lit(b2)) % F.lit(MINHASH_PRIME)).alias("_s2"),
+        *[
+            F.sum(
+                (hp * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"_s{i}")
+            for i, (a, b) in enumerate(params)
+        ],
     )
-    key = ["_n", "_s1", "_s2"]
+    key = ["_n", "_s0", "_s1", "_s2", "_s3"]
     reps = sig.groupBy(*key).agg(F.min("repo").alias("rep_repo"))
     # agg-min + equi-join back, NOT collect_list: a family of 10^6
     # identical forks must never become one array row
