@@ -48,7 +48,9 @@ def cmd_build(args: argparse.Namespace) -> int:
     from .sources.sinks import append_build_stats
 
     spark = _spark("se-build")
-    docs = to_engine_docs(read_corpus(spark, args.input))
+    docs = to_engine_docs(
+        read_corpus(spark, args.input, schema=args.input_schema)
+    )
     t0 = time.time()
     idx = build_index(
         docs,
@@ -394,6 +396,12 @@ def main(argv: list[str] | None = None) -> int:
         "--input", required=True,
         help="parquet dir, catalog table, pid\\ttext TSV(.gz), tar.gz, "
              "jsonl/ndjson(.gz), or files:<dir> source tree",
+    )
+    b.add_argument(
+        "--input-schema", default=None,
+        help="explicit DDL schema for jsonl/ndjson inputs (e.g. "
+             "'id string, text string') — skips the full-input "
+             "inference pass",
     )
     b.add_argument("--index-dir", required=True)
     b.add_argument("--no-stem-stop", action="store_true")

@@ -61,12 +61,14 @@ def repo_file_shas(code_table: DataFrame) -> DataFrame:
     """Distinct (repo, sha) blob set per repo. sha256 of the content
     string — the same per-row lineage hash the rest of the pipeline
     carries (input_hint invariant), so a pre-hashed corpus can skip
-    straight to the set representation."""
+    straight to the set representation. NULL-repo rows belong to no
+    repository and are excluded (they must not pool into one
+    pseudo-repo); NULL-content rows carry no blob."""
     return (
         code_table.select(
             "repo", F.sha2(F.col("content").cast("string"), 256).alias("sha")
         )
-        .filter(F.col("sha").isNotNull())
+        .filter(F.col("sha").isNotNull() & F.col("repo").isNotNull())
         .distinct()
     )
 
@@ -116,22 +118,25 @@ def _band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
 def exact_repo_groups(shas: DataFrame) -> DataFrame:
     """(repo, rep_repo): hash-exact identical-blob-set groups, rep =
     min repo name. Four order-independent commutative sums over
-    independently re-hashed blob hashes plus the set size key the
-    group — associative, so one map-side-combinable aggregate per
-    repo, no sorted-set materialization. Hash-exact in the same sense
-    as the sha256 exact-dedup operators: a false merge needs two
-    EQUAL-SIZE repos whose four independent ~2^31-range sums all
-    collide (>=120 bits of key), negligible even against the ~2^60
-    equal-size repo pairs of a 10^9-repo corpus."""
-    hp = portable_hash(F.col("sha")) % F.lit(MINHASH_PRIME)
-    params = _affine_params(4)
+    INDEPENDENTLY salted blob hashes plus the set size key the group —
+    associative, so one map-side-combinable aggregate per repo, no
+    sorted-set materialization. Each sum hashes ``salt_i || sha``
+    through its own md5, NOT an affine transform of one shared hash:
+    affine images of a single 31-bit hash collide TOGETHER whenever
+    two blobs' base hashes collide (guaranteed by pigeonhole at 10^12
+    blobs), so independence must come from the hash input. Hash-exact
+    in the same sense as the sha256 exact-dedup operators: a false
+    merge needs two EQUAL-SIZE repos whose four independent
+    ~2^31-range sums all collide (>=120 bits of key), negligible even
+    against the ~2^60 equal-size repo pairs of a 10^9-repo corpus."""
     sig = shas.groupBy("repo").agg(
         F.count("*").alias("_n"),
         *[
             F.sum(
-                (hp * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+                portable_hash(F.concat(F.lit(f"setkey{i}|"), F.col("sha")))
+                % F.lit(MINHASH_PRIME)
             ).alias(f"_s{i}")
-            for i, (a, b) in enumerate(params)
+            for i in range(4)
         ],
     )
     key = ["_n", "_s0", "_s1", "_s2", "_s3"]
@@ -214,9 +219,10 @@ def fork_clusters(
     k: int = FORK_MINHASH_K,
     bands: int = FORK_MINHASH_BANDS,
 ) -> DataFrame:
-    """(repo, canonical_repo): every repo labeled with the
+    """(repo, canonical_repo): every non-NULL repo labeled with the
     lexicographically smallest repo of its fork cluster (singletons
-    map to themselves). Transitivity via the gate-verified
+    map to themselves; NULL repos belong to no repository and get no
+    label — ``collapse_forks`` passes their rows through). Transitivity via the gate-verified
     ``connected_components`` loop over dense repo ids — dense ids are
     assigned in repo order, so the min-label cluster representative IS
     the min repo name. (assign_dense_ids' internal persist lives in
@@ -238,15 +244,19 @@ def fork_clusters(
     star = groups.filter(F.col("repo") != F.col("rep_repo")).select(
         F.col("rep_repo").alias("repo_a"), F.col("repo").alias("repo_b")
     )
-    rep_shas = shas.join(
-        groups.filter(F.col("repo") == F.col("rep_repo")).select("repo"),
-        "repo",
-        "left_semi",
+    rep_shas = _cached(
+        shas.join(
+            groups.filter(F.col("repo") == F.col("rep_repo")).select("repo"),
+            "repo",
+            "left_semi",
+        )
     )
     pairs = _pairs_from_shas(rep_shas, threshold, k, bands).select(
         "repo_a", "repo_b"
     ).unionByName(star)
-    repos = code_table.select("repo").distinct()
+    repos = code_table.select("repo").filter(
+        F.col("repo").isNotNull()
+    ).distinct()
     rids = _cached(assign_dense_ids(repos, ["repo"], id_col="doc_id"))
     e = (
         pairs.join(
@@ -284,12 +294,18 @@ def collapse_forks(
     """The code table with non-canonical fork repos dropped — the
     repo-level dedup pass The Stack runs before file-level dedup. A
     broadcast-sized label frame is NOT assumed: the filter is an
-    equi-join on repo."""
+    equi-join on repo. Rows with a NULL repo belong to no repository
+    and pass through untouched (an equi-semi-join would silently drop
+    them)."""
     labels = fork_clusters(code_table, threshold, k, bands)
     keep = labels.filter(F.col("repo") == F.col("canonical_repo")).select(
         "repo"
     )
-    return code_table.join(keep, "repo", "left_semi")
+    return code_table.filter(F.col("repo").isNull()).unionByName(
+        code_table.filter(F.col("repo").isNotNull()).join(
+            keep, "repo", "left_semi"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

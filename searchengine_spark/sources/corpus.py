@@ -24,14 +24,17 @@ from pyspark.sql import functions as F
 _NON_ASCII = "[^\\x00-\\x7F]"
 
 
-def read_corpus(spark: SparkSession, source: str) -> DataFrame:
+def read_corpus(
+    spark: SparkSession, source: str, schema: str | None = None
+) -> DataFrame:
     """``source`` = catalog table name (no slash), a ``pid\\ttext``
     TSV(.gz) file — the reference's native MS MARCO collection format
     (Spimi.java:251-255) — a ``.tar.gz``/``.tgz`` archive wrapping that
     TSV (Spimi.java:71-81 compressed-read mode), a ``.jsonl``/
     ``.ndjson``(.gz) document dump, a ``files:<dir>`` tree of raw
     source files (one doc per file, pid = file path), or a parquet
-    path."""
+    path. ``schema`` applies to the JSONL formats only (skips the
+    inference pass)."""
     low = source.lower()
     if low.startswith("files:"):
         return read_files_corpus(spark, source[len("files:"):])
@@ -40,7 +43,7 @@ def read_corpus(spark: SparkSession, source: str) -> DataFrame:
     if low.endswith((".tsv", ".tsv.gz", ".txt", ".txt.gz")):
         return read_tsv_corpus(spark, source)
     if low.endswith((".jsonl", ".jsonl.gz", ".ndjson", ".ndjson.gz")):
-        return read_jsonl_corpus(spark, source)
+        return read_jsonl_corpus(spark, source, schema=schema)
     if "/" not in source:
         return spark.read.table(source)
     return spark.read.parquet(source)
@@ -110,18 +113,21 @@ def read_jsonl_corpus(
     the per-row content sha256 invariant survives the read).
 
     Pass an explicit ``schema`` ("id string, text string") to skip
-    Spark's inference scan; without one, inference samples 10% of the
-    input (a full extra pass at 100 TB is never acceptable — malformed
-    rows land in ``_corrupt_record`` and are dropped by the schema
-    adapter, same fate as the TSV reader's tab-less lines). ``.gz``
-    inputs decompress transparently but are single-stream reads, like
-    the TSV path; parallelism returns at the dense-id range shuffle.
+    Spark's inference scan — the at-scale path, reachable from the CLI
+    via ``build --input-schema``. Without one, inference reads the
+    FULL input (an extra pass, priced in deliberately): sampled
+    inference silently loses data on mixed-type columns — a 10%
+    sample seeing only numeric ids infers LongType, the string-id
+    rows then parse to NULL under PERMISSIVE mode and the schema
+    adapter drops them without a trace. Malformed lines land in
+    ``_corrupt_record`` and are dropped by the schema adapter, same
+    fate as the TSV reader's tab-less lines. ``.gz`` inputs
+    decompress transparently but are single-stream reads, like the
+    TSV path; parallelism returns at the dense-id range shuffle.
     """
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    else:
-        reader = reader.option("samplingRatio", 0.1)
     return reader.json(path)
 
 
@@ -185,18 +191,30 @@ def code_table_from_files(
     metadata), lang = extension-mapped tag. All derivations are JVM
     expressions over the ``binaryFile`` scan — no Python boundary, so
     the tabularization pipelines into whatever operator follows."""
-    import os
-
-    if "://" not in root and not root.startswith("file:"):
-        root = os.path.abspath(root)
-    marker = root.rstrip("/") + "/"
+    # resolve the root through Hadoop's own Path qualification so the
+    # marker matches the binaryFile `path` column byte-for-byte —
+    # string heuristics break on file:/// vs file:/ and on namenode
+    # port normalization, silently mis-slicing every repo/path
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = fs.makeQualified(hpath).toString().rstrip("/") + "/"
     df = read_files_corpus(spark, root, glob=glob)
     # locate takes the needle as a plain Python string — no SQL-string
-    # escaping of user paths
-    rel = F.substring(
-        F.col("pid"),
-        F.locate(marker, F.col("pid")) + F.lit(len(marker)),
-        F.lit(2147483647),
+    # escaping of user paths; a non-match raises instead of silently
+    # slicing mid-path
+    loc = F.locate(marker, F.col("pid"))
+    rel = F.when(
+        loc > 0,
+        F.substring(F.col("pid"), loc + F.lit(len(marker)), F.lit(2147483647)),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"file path does not contain the qualified root "
+                      f"'{marker}': "),
+                F.col("pid"),
+            )
+        )
     )
     d = df.select(
         rel.alias("rel"), F.col("content")

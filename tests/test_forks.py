@@ -86,6 +86,21 @@ def test_fork_clusters_and_collapse(spark):
     assert kept.filter("repo = 'repoA'").count() == 12
 
 
+def test_collapse_forks_passes_null_repo_rows_through(spark):
+    rows = _rows() + [(None, "orphan.py", "ownerless row")]
+    t = spark.createDataFrame(
+        [(r, p, "c0", "py", x) for r, p, x in rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    kept = collapse_forks(t)
+    assert kept.filter("repo IS NULL").count() == 1
+    kept_repos = {
+        r["repo"] for r in kept.filter("repo IS NOT NULL")
+        .select("repo").distinct().collect()
+    }
+    assert kept_repos == {"repoA", "repoHalf", "repoOther", "repoNull"}
+
+
 def test_fork_pairs_bands_must_divide_k(spark):
     with pytest.raises(ValueError):
         fork_pairs(_table(spark), k=16, bands=5)

@@ -109,6 +109,31 @@ def test_files_corpus_tree(spark, tmp_path):
     assert to_engine_docs(docs).columns == ["pid", "content"]
 
 
+def test_jsonl_mixed_type_ids_survive_inference(spark, tmp_path):
+    """Full-pass inference merges numeric and string ids to string —
+    a sampled inference that saw only numeric ids would type id as
+    long and silently NULL (then drop) the string-id rows."""
+    path = tmp_path / "mixed.jsonl"
+    rows = [json.dumps({"id": i, "text": f"numeric {i}"}) for i in range(50)]
+    rows.append(json.dumps({"id": "strX", "text": "string id row"}))
+    _write_jsonl(path, rows)
+    docs = to_engine_docs(read_corpus(spark, str(path)))
+    assert docs.count() == 51
+    assert docs.filter("pid = 'strX'").count() == 1
+
+
+def test_code_table_from_files_uri_root(spark, tmp_path):
+    """A file:/// URI root must resolve to the same marker Hadoop puts
+    in the binaryFile path column — string heuristics mis-sliced every
+    repo/path here before the qualified-Path fix."""
+    root = tmp_path / "checkouts"
+    (root / "alpha").mkdir(parents=True)
+    (root / "alpha/a.py").write_text("print('x')\n")
+    table = code_table_from_files(spark, f"file://{root}")
+    rows = [(r["repo"], r["path"]) for r in table.collect()]
+    assert rows == [("alpha", "a.py")]
+
+
 def test_code_table_from_files(spark, tmp_path):
     root = tmp_path / "checkouts"
     (root / "alpha/src").mkdir(parents=True)
