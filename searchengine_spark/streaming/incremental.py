@@ -90,10 +90,15 @@ def start_ingest(
     trigger_once: bool = True,
     positions: bool = False,
     fields: bool = False,
+    source_format: str = "parquet",
 ):
-    """Start the streaming ingest: parquet-dir source -> staged posting
+    """Start the streaming ingest: file-dir source -> staged posting
     blocks. ``trigger_once`` processes the backlog and stops (the
     testable mode); continuous triggers are a config away.
+    ``source_format`` = "parquet" (default) or "json" for a
+    landing zone where documents arrive as JSONL files (the explicit
+    ``schema`` is mandatory for streams, so JSON inference is not a
+    concern here).
 
     The ingest's ``stem_stop`` is persisted in ``stream_manifest.json``
     so compaction serves queries with the SAME analysis chain the
@@ -112,21 +117,29 @@ def start_ingest(
         # rows (and a positions toggle would leave doc versions whose
         # postings and positions disagree — the staged tables share
         # batch_id lineage precisely so they stay in lockstep)
-        old = json.loads(mpath.read_text()).get("flags", {})
+        old_manifest = json.loads(mpath.read_text())
+        old = old_manifest.get("flags", {})
+        # source_format lives BESIDE flags: the flags dict propagates
+        # into the compacted index manifest, where a non-index key
+        # would be noise
+        old_fmt = old_manifest.get("source_format", "parquet")
         if (
             bool(old.get("stem_stop", True)) != bool(stem_stop)
             or bool(old.get("positions", False)) != bool(positions)
             or bool(old.get("fields", False)) != bool(fields)
+            or old_fmt != source_format
         ):
             raise ValueError(
                 "stream flag mismatch on resume: ingest was started with "
-                f"{old}, got stem_stop={stem_stop} positions={positions} "
-                f"fields={fields}"
+                f"{old} source_format={old_fmt}, got stem_stop={stem_stop} "
+                f"positions={positions} fields={fields} "
+                f"source_format={source_format}"
             )
     mpath.write_text(
         json.dumps({"flags": {"stem_stop": stem_stop, "compression": False,
                               "max_score": True, "positions": positions,
-                              "fields": fields}})
+                              "fields": fields},
+                    "source_format": source_format})
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -154,7 +167,14 @@ def start_ingest(
                 .parquet(f"{index_dir}/pos_stream")
             )
 
-    reader = spark.readStream.schema(schema).parquet(source_dir)
+    if source_format not in ("parquet", "json"):
+        raise ValueError(f"unsupported source_format: {source_format!r}")
+    base = spark.readStream.schema(schema)
+    reader = (
+        base.json(source_dir)
+        if source_format == "json"
+        else base.parquet(source_dir)
+    )
     writer = reader.writeStream.foreachBatch(sink).option(
         "checkpointLocation", f"{index_dir}/stream_checkpoint"
     )

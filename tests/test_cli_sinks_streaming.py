@@ -357,6 +357,46 @@ def test_streaming_ingest_and_compact(spark, tmp_path):
     assert set(hits) == {"p1", "p3"}
 
 
+def test_streaming_ingest_jsonl_landing_zone(spark, tmp_path):
+    """JSONL landing-zone ingest: documents arriving as .jsonl files
+    stage, compact, and serve exactly like the parquet stream; a
+    source_format switch on resume is rejected like any flag
+    mismatch."""
+    import json as _json
+
+    import pytest
+
+    from searchengine_spark.operators.query import top_k
+    from searchengine_spark.streaming.incremental import compact, start_ingest
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    idxd = tmp_path / "jidx"
+    (src / "drop1.jsonl").write_text(
+        _json.dumps({"pid": "p1", "content": "spark join fast"}) + "\n"
+        + _json.dumps({"pid": "p2", "content": "hash table"}) + "\n"
+    )
+    q = start_ingest(
+        spark, str(src), str(idxd), stem_stop=False, source_format="json"
+    )
+    q.awaitTermination(120)
+    (src / "drop2.jsonl").write_text(
+        _json.dumps({"pid": "p3", "content": "spark table scan"}) + "\n"
+    )
+    q2 = start_ingest(
+        spark, str(src), str(idxd), stem_stop=False, source_format="json"
+    )
+    q2.awaitTermination(120)
+
+    idx = compact(spark, str(idxd))
+    assert idx.stats["n_docs"] == 3
+    hits = [r["pid"] for r in top_k(idx, "spark", k=10).collect()]
+    assert set(hits) == {"p1", "p3"}
+
+    with pytest.raises(ValueError, match="source_format"):
+        start_ingest(spark, str(src), str(idxd), stem_stop=False)
+
+
 def test_corpus_adapter_table_and_schemas(spark):
     from searchengine_spark.sources.corpus import read_corpus, to_engine_docs
 
