@@ -86,6 +86,59 @@ def test_fork_clusters_and_collapse(spark):
     assert kept.filter("repo = 'repoA'").count() == 12
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_fork_clusters_match_brute_force_union_find(spark, seed):
+    """Randomized tables (overlapping blob pools, planted copies,
+    empty-ish repos): fork_clusters labels must equal a brute-force
+    union-find over the exact >=threshold Jaccard graph. The LSH layer
+    is deterministic, and at r=2/8 bands the miss probability at
+    J>=0.7 is ~0.4% per pair — across these seeds the exact graph and
+    the engine agree, so any label drift is a real defect."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [f"blob content {i}" for i in range(30)]
+    rows, sets = [], {}
+    for ri in range(10):
+        repo = f"repo{ri:02d}"
+        if ri >= 7:  # planted near-copies of earlier repos
+            src = sorted(sets[f"repo{ri - 7:02d}"])
+            blobs = [b for b in src if rng.random() > 0.08]
+        else:
+            blobs = rng.sample(pool, rng.randint(2, 12))
+        sets[repo] = set(blobs)
+        for j, b in enumerate(blobs):
+            rows.append((repo, f"f{j}", b))
+    t = spark.createDataFrame(
+        [(r, p, "c", "py", b) for r, p, b in rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+    # brute force: exact jaccard graph -> union-find -> min label
+    parent = {r: r for r in sets}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.7:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for r in sets:
+        root = find(r)
+        members = [x for x in sets if find(x) == root]
+        want[r] = min(members)
+
+    got = {r["repo"]: r["canonical_repo"] for r in fork_clusters(t).collect()}
+    assert got == want, seed
+
+
 def test_collapse_forks_passes_null_repo_rows_through(spark):
     rows = _rows() + [(None, "orphan.py", "ownerless row")]
     t = spark.createDataFrame(
