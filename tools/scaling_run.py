@@ -218,8 +218,18 @@ Generated by tools/scaling_run.py (REPLICATE={REPLICATE},
 PARTITIONS={PARTITIONS}, sf_dir={SF_DIR}).
 """
     md += DIAGNOSIS
-    (bench_dir / "BASELINE.md").write_text(md)
+    # preserve hand-written history below the marker: the template
+    # rewrite must never drop per-session bench entries and notes
+    target = bench_dir / "BASELINE.md"
+    if target.exists():
+        prev = target.read_text()
+        if HISTORY_MARKER in prev:
+            md += HISTORY_MARKER + prev.split(HISTORY_MARKER, 1)[1]
+    target.write_text(md)
     print(md)
+
+
+HISTORY_MARKER = "<!-- HAND-WRITTEN HISTORY BELOW: preserved across rewrites -->"
 
 
 DIAGNOSIS = """
