@@ -4,10 +4,10 @@ evaluation harness (QueryPerformancesMain).
 
   python -m searchengine_spark.cli build --input SRC --index-dir DIR
       [--no-stem-stop] [--no-compression] [--no-maxscore] [--partitions N]
-      [--positions] [--fields]
+      [--positions] [--fields] [--spellings]
   python -m searchengine_spark.cli query --index-dir DIR "terms..."
       [-k 10] [--conjunctive] [--scoring bm25|tfidf]
-      [--maxscore [--blockmax] | --bmw]
+      [--maxscore [--blockmax] | --bmw | --correct]
   python -m searchengine_spark.cli repl --index-dir DIR   # warm session
   python -m searchengine_spark.cli eval --index-dir DIR --queries TSV
       --output DIR [-k 100] [--scoring bm25]
@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from pathlib import Path
 
 
 def _spark(app: str):
@@ -65,6 +66,10 @@ def cmd_build(args: argparse.Namespace) -> int:
             overwrite=args.overwrite,
         ),
     )
+    if args.spellings:
+        from .operators.suggest import build_spellings
+
+        build_spellings(idx)
     total = time.time() - t0
     append_build_stats(idx, " ".join(sys.argv[1:]), total,
                        f"{args.index_dir}/indexerStatistics.tsv")
@@ -92,6 +97,11 @@ def cmd_query(args: argparse.Namespace) -> int:
     if args.snippets and not args.docs:
         raise SystemExit("--snippets renders from the corpus; add "
                          "--docs <parquet|table|TSV(.gz)|tar.gz>")
+    if args.correct and (args.bmw or args.maxscore or args.prf
+                         or args.snippets):
+        raise SystemExit("--correct runs the plain evaluator over the "
+                         "corrected terms; drop --bmw/--maxscore/--prf/"
+                         "--snippets")
     spark = _spark("se-query")
     idx = InvertedIndex.load(spark, args.index_dir)
     t0 = time.time()
@@ -139,6 +149,22 @@ def cmd_query(args: argparse.Namespace) -> int:
         res = maxscore_topk(idx, args.text, k=args.k,
                             conjunctive=args.conjunctive, scoring=args.scoring,
                             block_max=args.blockmax)
+    elif args.correct:
+        from .operators.query import top_k_terms
+        from .operators.suggest import correct_query
+
+        try:
+            fixes = correct_query(idx, args.text)
+        except ValueError as exc:  # no spellings/ artifact
+            raise SystemExit(f"{exc} (rebuild with `build --spellings` "
+                             f"or run suggest.build_spellings)")
+        for t, c in fixes.items():
+            if c is None:
+                print(f"# no correction within 1 edit for '{t}' — dropped")
+            elif c != t:
+                print(f"# corrected '{t}' -> '{c}'")
+        res = top_k_terms(idx, [c for c in fixes.values() if c], k=args.k,
+                          conjunctive=args.conjunctive, scoring=args.scoring)
     else:
         res = top_k(idx, args.text, k=args.k,
                     conjunctive=args.conjunctive, scoring=args.scoring)
@@ -263,7 +289,8 @@ def cmd_repl(args: argparse.Namespace) -> int:
     ``:prf on|off`` (warm pseudo-relevance feedback — both retrieval
     passes through the warm kernel), ``:snippets on|off`` (results
     page with context windows — needs ``--docs`` and a positions
-    build), ``:quit``."""
+    build), ``:correct on|off`` (spell-correct OOV terms — needs the
+    spellings/ artifact), ``:quit``."""
     from .operators.indexer import InvertedIndex
     from .operators.maxscore import maxscore_topk_rows
     from .operators.query import prf_topk_rows, top_k
@@ -279,6 +306,7 @@ def cmd_repl(args: argparse.Namespace) -> int:
     print(f"index warmed in {time.time()-t0:.1f}s: {idx.stats}", flush=True)
     k, conjunctive, scoring, use_maxscore = args.k, False, args.scoring, True
     algo, blockmax, prf, snippets = "maxscore", False, False, False
+    correct = False
     stream = open(args.input) if args.input else sys.stdin
     for line in stream:
         line = line.strip()
@@ -315,6 +343,15 @@ def cmd_repl(args: argparse.Namespace) -> int:
                 blockmax = parts[1] == "on"
             elif parts[0] == "prf" and len(parts) > 1:
                 prf = parts[1] == "on"
+            elif parts[0] == "correct" and len(parts) > 1:
+                want = parts[1] == "on"
+                if want and not (
+                    Path(idx.index_dir) / "spellings"
+                ).exists():
+                    print("index has no spellings/ artifact; rebuild with "
+                          "--spellings to enable :correct")
+                else:
+                    correct = want
             elif parts[0] == "snippets" and len(parts) > 1:
                 want = parts[1] == "on"
                 if want and docs_df is None:
@@ -350,6 +387,22 @@ def cmd_repl(args: argparse.Namespace) -> int:
                 print(f"{pid}\t{score:.10f}\t{snip or ''}")
             print(f"({len(page)} results in {ms:.1f} ms)", flush=True)
             continue
+        qterms = None
+        if correct:
+            if prf or snippets:
+                print(":correct composes with the plain evaluators; "
+                      ":prf off / :snippets off first")
+                continue
+            from .operators.suggest import correct_query
+
+            fixes = correct_query(idx, line)
+            for t, c in fixes.items():
+                if c is None:
+                    print(f"# no correction within 1 edit for '{t}' "
+                          f"— dropped")
+                elif c != t:
+                    print(f"# corrected '{t}' -> '{c}'")
+            qterms = [c for c in fixes.values() if c]
         if prf:
             if conjunctive:
                 print(":prf composes disjunctive passes; :conj off first")
@@ -369,14 +422,21 @@ def cmd_repl(args: argparse.Namespace) -> int:
                 {"pid": p, "score": s}
                 for _, p, s in maxscore_topk_rows(
                     idx, line, k=k, conjunctive=conjunctive, scoring=scoring,
-                    algo=algo, block_max=blockmax,
+                    algo=algo, block_max=blockmax, terms=qterms,
                 )
             ]
         else:
+            if qterms is not None:
+                from .operators.query import top_k_terms
+
+                res = top_k_terms(idx, qterms, k=k, conjunctive=conjunctive,
+                                  scoring=scoring)
+            else:
+                res = top_k(idx, line, k=k, conjunctive=conjunctive,
+                            scoring=scoring)
             rows = [
                 {"pid": r["pid"], "score": r["score"]}
-                for r in top_k(idx, line, k=k, conjunctive=conjunctive,
-                               scoring=scoring).collect()
+                for r in res.collect()
             ]
         ms = (time.time() - t1) * 1000
         for r in rows:
@@ -412,6 +472,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="also build the positional postings stage")
     b.add_argument("--fields", action="store_true",
                    help="also build the BM25F field-postings stage")
+    b.add_argument("--spellings", action="store_true",
+                   help="also derive the spellings/ artifact (SymSpell "
+                        "delete-neighborhood index for query --correct)")
     b.add_argument("--overwrite", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -427,6 +490,10 @@ def main(argv: list[str] | None = None) -> int:
                         "the stored blocks/ bounds")
     q.add_argument("--bmw", action="store_true",
                    help="Block-Max WAND pruning (disjunctive only)")
+    q.add_argument("--correct", action="store_true",
+                   help="spell-correct OOV query terms against the "
+                        "vocabulary (needs the spellings/ artifact: "
+                        "build --spellings)")
     q.add_argument("--prf", action="store_true",
                    help="pseudo-relevance feedback: expand the query "
                         "from the top feedback docs, then re-rank")

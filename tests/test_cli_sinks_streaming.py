@@ -22,6 +22,7 @@ def built(tmp_path_factory, spark):
             "--index-dir", str(root / "idx"),
             "--positions",
             "--fields",
+            "--spellings",
             "--overwrite",
         ]
     )
@@ -33,7 +34,8 @@ def test_cli_build_artifacts(built):
     assert (built / "manifest.json").exists()
     assert (built / "indexerStatistics.tsv").exists()
     for sub in ("doc_stats", "postings", "lexicon", "blocks",
-                "postings_packed", "positions_packed", "field_postings"):
+                "postings_packed", "positions_packed", "field_postings",
+                "spellings"):
         assert (built / sub / "_SUCCESS").exists(), sub
 
 
@@ -61,6 +63,30 @@ def test_cli_query_bmw_matches(built, capsys):
               "--bmw"])
     bmw = capsys.readouterr().out.splitlines()[:-1]
     assert daat == bmw and len(bmw) == 5
+
+
+def test_cli_query_correct(built, spark, capsys):
+    """--correct fixes a one-edit typo of the highest-df vocabulary
+    term and then serves the corrected query; combining with a pruning
+    evaluator is rejected."""
+    import pytest
+
+    from searchengine_spark.operators.indexer import InvertedIndex
+    from pyspark.sql import functions as F
+
+    idx = InvertedIndex.load(spark, str(built))
+    top = idx.lexicon.orderBy(F.col("df").desc(), "term").first()["term"]
+    typo = top + "q"
+    rc = cli.main(["query", "--index-dir", str(built), typo, "-k", "3",
+                   "--correct"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"# corrected '{typo}' -> '{top}'" in out
+    assert "results in" in out
+
+    with pytest.raises(SystemExit, match="--correct"):
+        cli.main(["query", "--index-dir", str(built), typo, "--correct",
+                  "--maxscore"])
 
 
 def test_cli_query_bmw_conjunctive_rejected(built):
@@ -161,6 +187,39 @@ def test_cli_repl_directives(built, tmp_path, capsys):
     assert len(pages) == 4  # warm ms, bmw, bmm, relational daat
     assert len(set(pages)) == 1  # all strategies rank-identical
     assert "disjunctive-only" in out
+
+
+def test_cli_repl_correct_directive(built, spark, tmp_path, capsys):
+    """repl `:correct on` fixes a typo'd top-df term on the warm path
+    AND the relational path (:maxscore off), both rank-identical to
+    querying the true term; prf+correct reports and continues."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.indexer import InvertedIndex
+
+    idx = InvertedIndex.load(spark, str(built))
+    top = idx.lexicon.orderBy(F.col("df").desc(), "term").first()["term"]
+    typo = top + "q"
+    qfile = tmp_path / "cq.txt"
+    qfile.write_text(
+        f":correct on\n{typo}\n"
+        f":maxscore off\n{typo}\n"
+        f":maxscore on\n:prf on\n{typo}\n:quit\n"
+    )
+    rc = cli.main(["repl", "--index-dir", str(built), "-k", "3",
+                   "--input", str(qfile)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count(f"# corrected '{typo}' -> '{top}'") == 2
+    import re
+
+    pages = re.findall(r"((?:\S+\t\d+\.\d{10}\n)+)\(3 results", out)
+    assert len(pages) == 2 and len(set(pages)) == 1  # warm == relational
+    assert ":prf off" in out  # rejected combination reported
+
+    cli.main(["query", "--index-dir", str(built), top, "-k", "3"])
+    want = capsys.readouterr().out.splitlines()[:-1]
+    assert pages[0].splitlines() == want  # corrected == true-term query
 
 
 def test_cli_repl_prf_directive(built, tmp_path, capsys):
