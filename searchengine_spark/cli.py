@@ -163,7 +163,11 @@ def cmd_query(args: argparse.Namespace) -> int:
                 print(f"# no correction within 1 edit for '{t}' — dropped")
             elif c != t:
                 print(f"# corrected '{t}' -> '{c}'")
-        res = top_k_terms(idx, [c for c in fixes.values() if c], k=args.k,
+        # order-preserving dedup: two inputs may correct to the SAME
+        # vocab term, and the terms= evaluators require deduped terms
+        # (duplicates double-count the partial scores)
+        terms = list(dict.fromkeys(c for c in fixes.values() if c))
+        res = top_k_terms(idx, terms, k=args.k,
                           conjunctive=args.conjunctive, scoring=args.scoring)
     else:
         res = top_k(idx, args.text, k=args.k,
@@ -368,6 +372,12 @@ def cmd_repl(args: argparse.Namespace) -> int:
                 print(f"unknown directive: {line}")
             continue
         t1 = time.time()
+        if correct and (prf or snippets):
+            # BEFORE the snippets dispatch — otherwise the raw typo'd
+            # query would rank silently with the correction skipped
+            print(":correct composes with the plain evaluators; "
+                  ":prf off / :snippets off first")
+            continue
         if snippets:
             if conjunctive or prf:
                 print(":snippets composes its own disjunctive ranking; "
@@ -389,10 +399,6 @@ def cmd_repl(args: argparse.Namespace) -> int:
             continue
         qterms = None
         if correct:
-            if prf or snippets:
-                print(":correct composes with the plain evaluators; "
-                      ":prf off / :snippets off first")
-                continue
             from .operators.suggest import correct_query
 
             fixes = correct_query(idx, line)
@@ -402,7 +408,9 @@ def cmd_repl(args: argparse.Namespace) -> int:
                           f"— dropped")
                 elif c != t:
                     print(f"# corrected '{t}' -> '{c}'")
-            qterms = [c for c in fixes.values() if c]
+            # order-preserving dedup: collisions onto one vocab term
+            # would double-count partials in the terms= evaluators
+            qterms = list(dict.fromkeys(c for c in fixes.values() if c))
         if prf:
             if conjunctive:
                 print(":prf composes disjunctive passes; :conj off first")

@@ -61,13 +61,18 @@ def build_spellings(index: InvertedIndex) -> None:
 
 
 def _spellings(index: InvertedIndex) -> DataFrame:
+    df = getattr(index, "_spellings_df", None)
+    if df is not None:
+        return df
     path = Path(index.index_dir) / _SPELL_DIR
     if not path.exists():
         raise ValueError(
             "index has no spellings/ artifact; run build_spellings(index) "
             "once to enable spelling correction"
         )
-    return index.spark.read.parquet(str(path))
+    df = index.spark.read.parquet(str(path))
+    index._spellings_df = df  # memoized handle (warm-session posture)
+    return df
 
 
 def _del_keys(term: str) -> list[str]:
@@ -109,6 +114,22 @@ def correct_query(
     terms = [t for t in query_terms(text, stem_stop) if t != ""]
     if not terms:
         return {}
+    # warm fast path: a memoized lexicon (index.warm()) answers the
+    # common all-in-vocabulary case with ZERO Spark jobs; only the OOV
+    # subset pays the spellings point lookup
+    known = index.lexicon_map
+    if known is not None:
+        oov = [t for t in terms if t not in known]
+        if not oov:
+            return {t: t for t in terms}
+        fixes = _correct_oov(index, oov)
+        return {t: t if t in known else fixes[t] for t in terms}
+    return _correct_oov(index, terms)
+
+
+def _correct_oov(
+    index: InvertedIndex, terms: list[str]
+) -> dict[str, str | None]:
     keys = sorted({k for t in terms for k in _del_keys(t)})
     rows = (
         _spellings(index)

@@ -107,6 +107,10 @@ def start_ingest(
     import json
     from pathlib import Path
 
+    # validate BEFORE any manifest write: persisting a bad format and
+    # raising after would wedge the dir against every valid resume
+    if source_format not in ("parquet", "json"):
+        raise ValueError(f"unsupported source_format: {source_format!r}")
     idx_root = Path(index_dir)
     idx_root.mkdir(parents=True, exist_ok=True)
     mpath = idx_root / "stream_manifest.json"
@@ -167,8 +171,6 @@ def start_ingest(
                 .parquet(f"{index_dir}/pos_stream")
             )
 
-    if source_format not in ("parquet", "json"):
-        raise ValueError(f"unsupported source_format: {source_format!r}")
     base = spark.readStream.schema(schema)
     reader = (
         base.json(source_dir)

@@ -88,6 +88,17 @@ def test_cli_query_correct(built, spark, capsys):
         cli.main(["query", "--index-dir", str(built), typo, "--correct",
                   "--maxscore"])
 
+    # collision: the true term AND its typo correct to ONE vocab term —
+    # must dedupe (not double-count partials) and equal the plain query
+    cli.main(["query", "--index-dir", str(built), top, "-k", "3"])
+    want = capsys.readouterr().out.splitlines()[:-1]
+    rc = cli.main(["query", "--index-dir", str(built), f"{top} {typo}",
+                   "-k", "3", "--correct"])
+    assert rc == 0
+    out_lines = capsys.readouterr().out.splitlines()
+    got = [ln for ln in out_lines if "\t" in ln]
+    assert got == want
+
 
 def test_cli_query_bmw_conjunctive_rejected(built):
     with pytest.raises(SystemExit):
@@ -203,19 +214,26 @@ def test_cli_repl_correct_directive(built, spark, tmp_path, capsys):
     qfile = tmp_path / "cq.txt"
     qfile.write_text(
         f":correct on\n{typo}\n"
+        f"{top} {typo}\n"          # collision: both correct to `top`
         f":maxscore off\n{typo}\n"
-        f":maxscore on\n:prf on\n{typo}\n:quit\n"
+        f":maxscore on\n:prf on\n{typo}\n"
+        f":prf off\n:snippets on\n{typo}\n:quit\n"
     )
     rc = cli.main(["repl", "--index-dir", str(built), "-k", "3",
-                   "--input", str(qfile)])
+                   "--input", str(qfile), "--docs",
+                   "/root/testdata/sf0.001/documents.parquet"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert out.count(f"# corrected '{typo}' -> '{top}'") == 2
+    assert out.count(f"# corrected '{typo}' -> '{top}'") == 3
     import re
 
     pages = re.findall(r"((?:\S+\t\d+\.\d{10}\n)+)\(3 results", out)
-    assert len(pages) == 2 and len(set(pages)) == 1  # warm == relational
-    assert ":prf off" in out  # rejected combination reported
+    # warm typo == warm collision (deduped) == relational typo
+    assert len(pages) == 3 and len(set(pages)) == 1
+    assert ":prf off" in out      # prf+correct rejected, reported
+    # snippets+correct rejected BEFORE the snippets branch could rank
+    # the raw typo silently
+    assert out.count(":prf off / :snippets off first") == 2
 
     cli.main(["query", "--index-dir", str(built), top, "-k", "3"])
     want = capsys.readouterr().out.splitlines()[:-1]
@@ -435,6 +453,11 @@ def test_streaming_ingest_jsonl_landing_zone(spark, tmp_path):
         _json.dumps({"pid": "p1", "content": "spark join fast"}) + "\n"
         + _json.dumps({"pid": "p2", "content": "hash table"}) + "\n"
     )
+    # a bad format is rejected BEFORE the manifest write — it must not
+    # wedge the dir against the valid ingest that follows
+    with pytest.raises(ValueError, match="source_format"):
+        start_ingest(spark, str(src), str(idxd), stem_stop=False,
+                     source_format="csv")
     q = start_ingest(
         spark, str(src), str(idxd), stem_stop=False, source_format="json"
     )

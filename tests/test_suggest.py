@@ -86,6 +86,22 @@ def test_suggest_prefix(sidx):
     assert suggest_prefix(sidx, "zz").count() == 0
 
 
+def test_correct_query_warm_in_vocab_runs_zero_jobs(sidx):
+    """On a warmed index an all-in-vocabulary query corrects (to
+    itself) without any Spark job — the lexicon map short-circuits the
+    spellings scan, preserving the repl's warm zero-job posture."""
+    sidx.warm()
+    spark = sidx.spark
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    got = correct_query(sidx, "spark merge")
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
+    assert got == {"spark": "spark", "merge": "merge"}
+    # OOV terms still correct through the scan on the same warmed index
+    assert correct_query(sidx, "spark spork")["spork"] == "spark"
+
+
 def test_spellings_missing_artifact_raises(spark, tmp_path):
     docs = spark.createDataFrame(_DOCS[:2], "pid string, content string")
     idx = build_index(docs, str(tmp_path / "bare"),
