@@ -79,6 +79,25 @@ def _del_keys(term: str) -> list[str]:
     return list({term} | {term[:i] + term[i + 1:] for i in range(len(term))})
 
 
+def _lev1(a: str, b: str) -> bool:
+    """Exact ``levenshtein(a, b) <= 1`` in one pass: skip the shared
+    prefix, then the tails must match after consuming the single
+    allowed edit (substitution for equal lengths, the long side's
+    extra char otherwise). Property-pinned against DP Levenshtein."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    i = 0
+    while i < min(la, lb) and a[i] == b[i]:
+        i += 1
+    if la == lb:
+        return a[i + 1:] == b[i + 1:]
+    long, short = (a, b) if la > lb else (b, a)
+    return long[i + 1:] == short[i:]
+
+
 def spell_candidates(
     index: InvertedIndex, term: str, k: int = 5
 ) -> DataFrame:
@@ -139,22 +158,6 @@ def _correct_oov(
         .collect()
     )
     vocab = {r["term"]: r["df"] for r in rows}
-
-    def lev1(a: str, b: str) -> bool:
-        if a == b:
-            return True
-        la, lb = len(a), len(b)
-        if abs(la - lb) > 1:
-            return False
-        # one pass: skip the single mismatch, compare tails
-        i = 0
-        while i < min(la, lb) and a[i] == b[i]:
-            i += 1
-        if la == lb:
-            return a[i + 1:] == b[i + 1:]
-        long, short = (a, b) if la > lb else (b, a)
-        return long[i + 1:] == short[i:]
-
     out: dict[str, str | None] = {}
     for t in terms:
         if t in vocab:
@@ -162,7 +165,7 @@ def _correct_oov(
             continue
         best = None
         for cand, df in vocab.items():
-            if not lev1(t, cand):
+            if not _lev1(t, cand):
                 continue
             if (
                 best is None

@@ -102,6 +102,26 @@ def test_correct_query_warm_in_vocab_runs_zero_jobs(sidx):
     assert correct_query(sidx, "spark spork")["spork"] == "spark"
 
 
+def test_lev1_property_vs_dp():
+    """The serving-side one-pass edit-distance-<=1 check must agree
+    with full DP Levenshtein on adversarial short strings (repeats,
+    shared prefixes/suffixes, transpositions — distance 2 in plain
+    Levenshtein — and length gaps)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchengine_spark.operators.suggest import _lev1
+
+    word = st.text(alphabet="abc", min_size=0, max_size=6)
+
+    @settings(max_examples=500, deadline=None)
+    @given(word, word)
+    def check(a, b):
+        assert _lev1(a, b) == (_lev(a, b) <= 1), (a, b)
+
+    check()
+
+
 def test_spellings_missing_artifact_raises(spark, tmp_path):
     docs = spark.createDataFrame(_DOCS[:2], "pid string, content string")
     idx = build_index(docs, str(tmp_path / "bare"),
